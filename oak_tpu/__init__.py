@@ -1,0 +1,28 @@
+"""oak-tpu: TPU-native Orthogonal Additive Kernel Gaussian processes.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of
+amzn/orthogonal-additive-gaussian-processes (the OAK model of
+"Additive Gaussian Processes Revisited", arXiv:2206.09861), built TPU-first:
+pure-functional kernels and models as parameter pytrees, jitted losses, fused
+gram construction, and sharding-ready training steps.
+"""
+
+from . import bijectors, config, measures, params
+from .kernels import (
+    OAKKernel,
+    OrthogonalBinary,
+    OrthogonalCategorical,
+    OrthogonalRBF,
+    UnconstrainedRBF,
+    component_index_tuples,
+)
+from .measures import (
+    EmpiricalMeasure,
+    GaussianMeasure,
+    Measure,
+    MOGMeasure,
+    UniformMeasure,
+)
+from .params import Gamma, Normal, Param, bounded, fixed, param, positive
+
+__version__ = "0.1.0"

@@ -1,0 +1,33 @@
+"""Global numerics policy for oak-tpu.
+
+The reference stack (GPflow 2.2 on TF) runs float64 everywhere. On TPU, f64 is
+emulated and slow, so oak-tpu is dtype-polymorphic:
+
+- *parity mode* (tests, CPU): enable ``jax.config.update("jax_enable_x64", True)``
+  and everything runs f64, matching GPflow semantics.
+- *performance mode* (TPU): default f32 with f32 accumulation inside matmuls
+  (``preferred_element_type``) and jitter-escalating Cholesky (see ops/psd.py).
+
+Mirrors the role of ``gpflow.config`` (default_float / default_jitter) used
+throughout the reference (e.g. /root/reference/oak/oak_kernel.py:165).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Default jitter added to Kuu / K for Cholesky stability. GPflow's default is
+# 1e-6 (used via gpflow.config.default_jitter() at /root/reference/oak/utils.py:185).
+DEFAULT_JITTER_F64 = 1e-6
+DEFAULT_JITTER_F32 = 1e-5
+
+
+def default_float() -> jnp.dtype:
+    """float64 when JAX x64 is enabled (parity mode), else float32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def default_jitter(dtype=None) -> float:
+    dtype = dtype or default_float()
+    return DEFAULT_JITTER_F64 if jnp.dtype(dtype) == jnp.float64 else DEFAULT_JITTER_F32

@@ -1,0 +1,287 @@
+"""The OAK combination kernel.
+
+TPU-native rebuild of /root/reference/oak/oak_kernel.py (OAKKernel,
+KernelComponenent, get_list_representation). The kernel owns one constrained
+1-D kernel per (group of) input dimension(s) plus per-interaction-order
+variances sigma^2_0..sigma^2_P, and evaluates
+
+    K = sum_n sigma^2_n * e_n(k_1, ..., k_D)
+
+with e_n the elementary symmetric polynomials computed by Newton-Girard
+(ops/newton_girard.py). All structure (dim types, measures, depth) is static;
+parameters live in a single pytree so the whole gram inlines into one jitted
+XLA computation (and later a fused Pallas kernel for the continuous block).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..measures import EmpiricalMeasure, GaussianMeasure, MOGMeasure
+from ..ops.newton_girard import newton_girard
+from ..params import Gamma, Param, positive
+from . import ortho_binary, ortho_categorical, ortho_rbf
+from .ortho_binary import OrthogonalBinary
+from .ortho_categorical import OrthogonalCategorical
+from .ortho_rbf import OrthogonalRBF
+
+
+@struct.dataclass
+class UnconstrainedRBF:
+    """Plain SE kernel on one dim — the constrain_orthogonal=False variant
+    (oak_kernel.py:190-210)."""
+
+    lengthscale: Param
+    variance: Param
+    active_dim: int = struct.field(pytree_node=False, default=0)
+
+    @classmethod
+    def create(cls, lengthscale=1.0, variance=1.0, active_dim: int = 0,
+               lengthscale_bounds=None, train_variance: bool = True, dtype=None):
+        from ..params import bounded
+
+        if lengthscale_bounds is not None:
+            ls = bounded(lengthscale_bounds[0], lengthscale_bounds[1], lengthscale, dtype=dtype)
+        else:
+            ls = positive(lengthscale, dtype=dtype)
+        return cls(lengthscale=ls,
+                   variance=positive(variance, trainable=train_variance, dtype=dtype),
+                   active_dim=active_dim)
+
+
+def kernel_K(k, x: jnp.ndarray, x2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Gram of one constituent 1-D kernel on already-sliced columns."""
+    if isinstance(k, OrthogonalRBF):
+        return ortho_rbf.K(k, x, x2)
+    if isinstance(k, OrthogonalBinary):
+        return ortho_binary.K(k, x, x2)
+    if isinstance(k, OrthogonalCategorical):
+        return ortho_categorical.K(k, x, x2)
+    if isinstance(k, UnconstrainedRBF):
+        x2 = x if x2 is None else x2
+        d = (x[:, None] - x2[None, :]) / k.lengthscale.value
+        return k.variance.value * jnp.exp(-0.5 * d * d)
+    raise NotImplementedError(type(k))
+
+
+def kernel_K_diag(k, x: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(k, OrthogonalRBF):
+        return ortho_rbf.K_diag(k, x)
+    if isinstance(k, OrthogonalBinary):
+        return ortho_binary.K_diag(k, x)
+    if isinstance(k, OrthogonalCategorical):
+        return ortho_categorical.K_diag(k, x)
+    if isinstance(k, UnconstrainedRBF):
+        return jnp.full(x.shape, 1.0, x.dtype) * k.variance.value
+    raise NotImplementedError(type(k))
+
+
+@struct.dataclass
+class OAKKernel:
+    kernels: Tuple  # one constrained 1-D kernel per dim group
+    variances: Tuple[Param, ...]  # P+1 order variances (or just the constant's)
+    max_interaction_depth: int = struct.field(pytree_node=False, default=2)
+    share_var_across_orders: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def num_dims(self) -> int:
+        return len(self.kernels)
+
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def create(
+        cls,
+        num_dims: int,
+        max_interaction_depth: int = 2,
+        active_dims: Optional[Sequence[Sequence[int]]] = None,
+        constrain_orthogonal: bool = True,
+        p0: Optional[Sequence[Optional[float]]] = None,
+        p: Optional[Sequence] = None,
+        lengthscale_bounds: Optional[Sequence[float]] = None,
+        empirical_locations: Optional[Sequence] = None,
+        empirical_weights: Optional[Sequence] = None,
+        gmm_measures: Optional[Sequence[Optional[MOGMeasure]]] = None,
+        share_var_across_orders: bool = True,
+        use_sparsity_prior: bool = False,
+        dtype=None,
+    ) -> "OAKKernel":
+        """Mirrors the reference constructor semantics
+        (/root/reference/oak/oak_kernel.py:59-221):
+
+        - continuous dims: OrthogonalRBF against N(0, 1) (delta2=1 hardcoded,
+          oak_kernel.py:84), or an empirical / GMM measure if given;
+        - binary dims (p0[d] set): OrthogonalBinary;
+        - categorical dims (p[d] set): OrthogonalCategorical;
+        - share_var_across_orders: base variances pinned to 1 (non-trainable)
+          and trainable per-order variances sigma^2_0..sigma^2_P; otherwise
+          only sigma^2_0 plus trainable per-kernel base variances;
+        - unconstrained variant (constrain_orthogonal=False) uses plain RBF
+          per dim (still via OrthogonalRBF machinery minus the downdate is NOT
+          valid — instead we keep a plain-RBF flag via measure=None); see
+          ``UnconstrainedRBF`` below.
+        """
+        if active_dims is None:
+            active_dims = [[d] for d in range(num_dims)]
+        flat = [d for group in active_dims for d in group]
+        if len(flat) != len(set(flat)):
+            raise ValueError("Active dims contains duplicates.")
+        if max(flat) >= num_dims:
+            raise ValueError("Active dims exceeding num dims.")
+        D = len(active_dims)
+
+        p0 = list(p0) if p0 is not None else [None] * D
+        p = list(p) if p is not None else [None] * D
+        if empirical_locations is None:
+            if empirical_weights is not None:
+                raise ValueError("Cannot have weights without locations")
+            empirical_locations = [None] * D
+            empirical_weights = [None] * D
+        elif empirical_weights is None:
+            empirical_weights = [None] * D
+        if gmm_measures is None:
+            gmm_measures = [None] * D
+
+        if not constrain_orthogonal:
+            if any(loc is not None for loc in empirical_locations):
+                raise ValueError("Cannot have empirical locations without orthogonal constraint")
+
+        kernels = []
+        for d in range(D):
+            dim = active_dims[d][0]
+            train_var = not share_var_across_orders
+            if empirical_locations[d] is not None and gmm_measures[d] is not None:
+                raise ValueError(f"Both empirical and GMM measure defined for input {d}")
+            if p[d] is not None:
+                k = OrthogonalCategorical.create(
+                    p=p[d], active_dim=dim, train_variance=train_var, dtype=dtype
+                )
+            elif p0[d] is not None:
+                if constrain_orthogonal:
+                    k = OrthogonalBinary.create(
+                        p0=p0[d], active_dim=dim, train_variance=train_var, dtype=dtype
+                    )
+                else:
+                    # reference uses OrthogonalBinary in both branches
+                    # (oak_kernel.py:205-207)
+                    k = OrthogonalBinary.create(
+                        p0=p0[d], active_dim=dim, train_variance=train_var, dtype=dtype
+                    )
+            else:
+                if not constrain_orthogonal:
+                    k = UnconstrainedRBF.create(
+                        active_dim=dim,
+                        lengthscale_bounds=lengthscale_bounds,
+                        train_variance=train_var,
+                        dtype=dtype,
+                    )
+                else:
+                    if empirical_locations[d] is not None:
+                        measure = EmpiricalMeasure.create(
+                            empirical_locations[d], empirical_weights[d], dtype=dtype
+                        )
+                    elif gmm_measures[d] is not None:
+                        measure = gmm_measures[d]
+                    else:
+                        # delta2 = 1 prior measure variance (oak_kernel.py:84)
+                        measure = GaussianMeasure.create(0.0, 1.0, dtype=dtype)
+                    k = OrthogonalRBF.create(
+                        measure,
+                        active_dim=dim,
+                        lengthscale_bounds=lengthscale_bounds,
+                        train_variance=train_var,
+                        dtype=dtype,
+                    )
+            kernels.append(k)
+
+        prior = Gamma(1.0, 0.2) if use_sparsity_prior else None
+        if share_var_across_orders:
+            variances = tuple(
+                positive(1.0, prior=prior, dtype=dtype)
+                for _ in range(max_interaction_depth + 1)
+            )
+        else:
+            variances = (positive(1.0, dtype=dtype),)
+
+        return cls(
+            kernels=tuple(kernels),
+            variances=variances,
+            max_interaction_depth=max_interaction_depth,
+            share_var_across_orders=share_var_across_orders,
+        )
+
+    # ------------------------------------------------------------------ #
+    def dim_grams(self, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> List[jnp.ndarray]:
+        mats = []
+        for k in self.kernels:
+            x = X[:, k.active_dim]
+            x2 = None if X2 is None else X2[:, k.active_dim]
+            mats.append(kernel_K(k, x, x2))
+        return mats
+
+    def dim_diags(self, X: jnp.ndarray) -> List[jnp.ndarray]:
+        return [kernel_K_diag(k, X[:, k.active_dim]) for k in self.kernels]
+
+    def _combine(self, terms: List[jnp.ndarray]) -> jnp.ndarray:
+        if self.share_var_across_orders:
+            out = self.variances[0].value * terms[0]
+            for v, e in zip(self.variances[1:], terms[1:]):
+                out = out + v.value * e
+            return out
+        out = self.variances[0].value * terms[0]
+        for e in terms[1:]:
+            out = out + e
+        return out
+
+    def K(self, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        e = newton_girard(self.dim_grams(X, X2), self.max_interaction_depth)
+        return self._combine(e)
+
+    def K_diag(self, X: jnp.ndarray) -> jnp.ndarray:
+        e = newton_girard(self.dim_diags(X), self.max_interaction_depth)
+        return self._combine(e)
+
+    # ------------------------------------------------------------------ #
+    def component_K(self, dims: Sequence[int], X: jnp.ndarray,
+                    X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Gram of one additive term (KernelComponenent.K,
+        oak_kernel.py:300-320). ``dims`` indexes into self.kernels; empty
+        means the constant term sigma^2_0 * 1."""
+        n = X.shape[0]
+        m = n if X2 is None else X2.shape[0]
+        if len(dims) == 0:
+            return self.variances[0].value * jnp.ones((n, m), X.dtype)
+        out = None
+        for d in dims:
+            k = self.kernels[d]
+            x = X[:, k.active_dim]
+            x2 = None if X2 is None else X2[:, k.active_dim]
+            g = kernel_K(k, x, x2)
+            out = g if out is None else out * g
+        if self.share_var_across_orders:
+            out = self.variances[len(dims)].value * out
+        return out
+
+    def component_K_diag(self, dims: Sequence[int], X: jnp.ndarray) -> jnp.ndarray:
+        if len(dims) == 0:
+            return self.variances[0].value * jnp.ones((X.shape[0],), X.dtype)
+        out = None
+        for d in dims:
+            k = self.kernels[d]
+            g = kernel_K_diag(k, X[:, k.active_dim])
+            out = g if out is None else out * g
+        if self.share_var_across_orders:
+            out = self.variances[len(dims)].value * out
+        return out
+
+
+def component_index_tuples(num_dims: int, max_interaction_depth: int) -> List[List[int]]:
+    """All C(D, 0..P) index tuples, constant term first — the reference's
+    ``get_list_representation`` ordering (oak_kernel.py:338-364)."""
+    out: List[List[int]] = [[]]
+    for order in range(1, max_interaction_depth + 1):
+        out.extend([list(c) for c in itertools.combinations(range(num_dims), order)])
+    return out

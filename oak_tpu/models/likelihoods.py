@@ -1,0 +1,95 @@
+"""Likelihoods: Gaussian (closed form) and Bernoulli (quadrature).
+
+Replaces the GPflow likelihood objects the reference borrows
+(gpflow.likelihoods.Gaussian implicitly in GPR/SGPR; Bernoulli with a jittered
+sigmoid inverse link in the classification script,
+/root/reference/examples/uci/uci_classification_train.py:43-45,108).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax.numpy as jnp
+from flax import struct
+from jax.scipy.special import erf
+
+from ..ops.quadrature import gauss_hermite, log_gauss_hermite
+from ..params import Param, positive
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+@struct.dataclass
+class Gaussian:
+    variance: Param
+
+    @classmethod
+    def create(cls, variance: float = 1.0, dtype=None) -> "Gaussian":
+        # GPflow lower-bounds the likelihood variance at 1e-6.
+        return cls(variance=positive(variance, low=1e-6, dtype=dtype))
+
+    def log_prob(self, f, y):
+        v = self.variance.value
+        return -0.5 * (_LOG2PI + jnp.log(v) + (y - f) ** 2 / v)
+
+    def variational_expectations(self, fmu, fvar, y):
+        """E_{f~N(fmu,fvar)}[log p(y|f)] — closed form."""
+        v = self.variance.value
+        return -0.5 * (_LOG2PI + jnp.log(v) + ((y - fmu) ** 2 + fvar) / v)
+
+    def predict_mean_and_var(self, fmu, fvar):
+        return fmu, fvar + self.variance.value
+
+    def predict_log_density(self, fmu, fvar, y):
+        v = fvar + self.variance.value
+        return -0.5 * (_LOG2PI + jnp.log(v) + (y - fmu) ** 2 / v)
+
+
+def inv_probit(x, jitter: float = 1e-3):
+    """GPflow's default Bernoulli inverse link."""
+    return 0.5 * (1.0 + erf(x / math.sqrt(2.0))) * (1.0 - 2.0 * jitter) + jitter
+
+
+def inv_logit(x, jitter: float = 1e-3):
+    """The jittered sigmoid link from the reference classification script
+    (uci_classification_train.py:43-45)."""
+    return jnp.clip(jnp.reciprocal(1.0 + jnp.exp(-x)), 0.0, 1.0) * (1.0 - 2.0 * jitter) + jitter
+
+
+_INVLINKS = {"probit": inv_probit, "logit": inv_logit}
+
+
+@struct.dataclass
+class Bernoulli:
+    """P(y=1|f) = invlink(f); y in {0, 1}. Expectations by Gauss-Hermite."""
+
+    invlink_name: str = struct.field(pytree_node=False, default="logit")
+    num_gh: int = struct.field(pytree_node=False, default=20)
+
+    @classmethod
+    def create(cls, invlink: str = "logit", num_gh: int = 20) -> "Bernoulli":
+        if invlink not in _INVLINKS:
+            raise ValueError(f"invlink must be one of {list(_INVLINKS)}")
+        return cls(invlink_name=invlink, num_gh=num_gh)
+
+    @property
+    def invlink(self) -> Callable:
+        return _INVLINKS[self.invlink_name]
+
+    def log_prob(self, f, y):
+        p = self.invlink(f)
+        return y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p)
+
+    def variational_expectations(self, fmu, fvar, y):
+        return gauss_hermite(lambda f: self.log_prob(f, y[..., None]), fmu, fvar,
+                             self.num_gh)
+
+    def predict_mean_and_var(self, fmu, fvar):
+        p = gauss_hermite(self.invlink, fmu, fvar, self.num_gh)
+        return p, p - p * p
+
+    def predict_log_density(self, fmu, fvar, y):
+        return log_gauss_hermite(lambda f: self.log_prob(f, y[..., None]), fmu, fvar,
+                                 self.num_gh)

@@ -1,0 +1,75 @@
+"""PSD linear-algebra helpers: jittered Cholesky and solves.
+
+The reference relies on GPflow's default jitter (1e-6, used at
+/root/reference/oak/utils.py:185) and simply lets Cholesky failures raise
+(caught ad hoc at uci_classification_train.py:146-159). TPU-native policy:
+
+- add dtype-appropriate jitter up front;
+- on f32 hardware, matmuls accumulate in f32 via preferred_element_type;
+- ``safe_cholesky`` optionally escalates jitter deterministically (x10, up to
+  ``max_tries``) using ``lax.while_loop`` — no data-dependent Python control
+  flow, so it stays jittable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import default_jitter
+
+
+def add_jitter(K: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:
+    jitter = default_jitter(K.dtype) if jitter is None else jitter
+    return K + jitter * jnp.eye(K.shape[-1], dtype=K.dtype)
+
+
+def cholesky(K: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:
+    return jnp.linalg.cholesky(add_jitter(K, jitter))
+
+
+@partial(jax.jit, static_argnames=("max_tries",))
+def safe_cholesky(K: jnp.ndarray, jitter: float | None = None, max_tries: int = 5):
+    """Cholesky with deterministic jitter escalation.
+
+    Returns (L, final_jitter). If even the largest jitter fails, L contains
+    NaNs (caller can checkify). Escalation is a while_loop on the NaN flag, so
+    this compiles to a single XLA computation.
+    """
+    base = default_jitter(K.dtype) if jitter is None else jitter
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+
+    def body(state):
+        i, _, _ = state
+        j = base * (10.0 ** i)
+        L = jnp.linalg.cholesky(K + j * eye)
+        return i + 1.0, L, j
+
+    def cond(state):
+        i, L, _ = state
+        return jnp.logical_and(jnp.any(jnp.isnan(L)), i < max_tries)
+
+    _, L0, j0 = body((jnp.zeros((), K.dtype), K, jnp.zeros((), K.dtype)))
+    _, L, j = lax.while_loop(cond, body, (jnp.ones((), K.dtype), L0, j0))
+    return L, j
+
+
+def solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    return jax.scipy.linalg.solve_triangular(L, B, lower=True)
+
+
+def solve_upper(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solves L^T x = B given lower-triangular L."""
+    return jax.scipy.linalg.solve_triangular(L.T, B, lower=False)
+
+
+def cholesky_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """(L L^T)^{-1} B."""
+    return solve_upper(L, solve_lower(L, B))
+
+
+def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))

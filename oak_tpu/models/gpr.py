@@ -1,0 +1,99 @@
+"""Exact GP regression (GPR) with the OAK kernel.
+
+Replaces ``gpflow.models.GPR`` as used by the reference
+(/root/reference/oak/model_utils.py:159; sufficient statistics at
+utils.py:206-211). Pure-functional: the model is one pytree; the loss is a
+jitted function of it. Cholesky-based marginal likelihood; data is carried in
+the pytree (like GPflow's data-owning models) so downstream Sobol/plotting
+paths have access.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..kernels.oak_kernel import OAKKernel
+from ..ops.psd import cholesky, cholesky_solve, logdet_from_chol, solve_lower
+from ..params import log_prior_density
+from .likelihoods import Gaussian
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+@struct.dataclass
+class GPR:
+    kernel: OAKKernel
+    likelihood: Gaussian
+    X: jnp.ndarray  # [N, D]
+    Y: jnp.ndarray  # [N, R]
+
+    @classmethod
+    def create(cls, X, Y, kernel: OAKKernel, noise_variance: float = 1.0) -> "GPR":
+        X = jnp.asarray(X)
+        Y = jnp.asarray(Y)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        return cls(kernel=kernel, likelihood=Gaussian.create(noise_variance, dtype=X.dtype),
+                   X=X, Y=Y.astype(X.dtype))
+
+    # ------------------------------------------------------------------ #
+    def _chol(self) -> jnp.ndarray:
+        K = self.kernel.K(self.X)
+        Ky = K + self.likelihood.variance.value * jnp.eye(K.shape[0], dtype=K.dtype)
+        return cholesky(Ky, jitter=0.0)
+
+    def log_marginal_likelihood(self) -> jnp.ndarray:
+        L = self._chol()
+        N, R = self.Y.shape
+        alpha = cholesky_solve(L, self.Y)
+        quad = jnp.sum(self.Y * alpha)
+        return -0.5 * (quad + R * logdet_from_chol(L) + N * R * _LOG2PI)
+
+    def training_loss(self) -> jnp.ndarray:
+        """-(log marginal + log priors), GPflow ``training_loss`` semantics."""
+        return -(self.log_marginal_likelihood() + log_prior_density(self))
+
+    # ------------------------------------------------------------------ #
+    def predict_f(self, Xnew, full_cov: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        L = self._chol()
+        Kmn = self.kernel.K(self.X, jnp.asarray(Xnew))  # [N, S]
+        A = solve_lower(L, Kmn)  # [N, S]
+        mean = A.T @ solve_lower(L, self.Y)
+        if full_cov:
+            cov = self.kernel.K(Xnew) - A.T @ A
+            return mean, cov
+        var = self.kernel.K_diag(jnp.asarray(Xnew)) - jnp.sum(A * A, axis=0)
+        return mean, var[:, None] * jnp.ones((1, self.Y.shape[1]), A.dtype)
+
+    def predict_y(self, Xnew) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        mu, var = self.predict_f(Xnew)
+        return self.likelihood.predict_mean_and_var(mu, var)
+
+    def predict_log_density(self, Xnew, Ynew) -> jnp.ndarray:
+        mu, var = self.predict_f(Xnew)
+        Ynew = jnp.asarray(Ynew)
+        if Ynew.ndim == 1:
+            Ynew = Ynew[:, None]
+        return jnp.sum(self.likelihood.predict_log_density(mu, var, Ynew), axis=-1)
+
+    # ------------------------------------------------------------------ #
+    def posterior_stats(self):
+        """(alpha, Qinv) with predictive mean = K(Xnew,X) alpha and
+        covariance = K(Xnew) - K(Xnew,X) Qinv K(X,Xnew); the GPR branch of the
+        reference's ``get_model_sufficient_statistics`` (utils.py:206-211)."""
+        L = self._chol()
+        alpha = cholesky_solve(L, self.Y)
+        Qinv = cholesky_solve(L, jnp.eye(L.shape[0], dtype=L.dtype))
+        return alpha, Qinv
+
+    @property
+    def data(self):
+        return self.X, self.Y
+
+    @property
+    def inducing_points(self) -> Optional[jnp.ndarray]:
+        return None

@@ -1,0 +1,128 @@
+"""Sparse GP regression — the Titsias (2009) collapsed bound.
+
+Replaces ``gpflow.models.SGPR`` as used by the reference
+(/root/reference/oak/model_utils.py:150-157); the posterior re-derivation the
+reference does by hand at utils.py:180-204 is the spec for
+``posterior_stats``. All dense algebra is MXU-shaped: Kuf [M, N] built once
+per evaluation, two Choleskys of [M, M].
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import default_jitter
+from ..kernels.oak_kernel import OAKKernel
+from ..ops.psd import cholesky, solve_lower, solve_upper
+from ..params import Param, fixed, log_prior_density, param
+from .likelihoods import Gaussian
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+@struct.dataclass
+class SGPR:
+    kernel: OAKKernel
+    likelihood: Gaussian
+    Z: Param  # [M, D] inducing inputs (fixed by default, like the reference)
+    X: jnp.ndarray
+    Y: jnp.ndarray
+
+    @classmethod
+    def create(cls, X, Y, kernel: OAKKernel, Z, noise_variance: float = 1.0,
+               trainable_Z: bool = False) -> "SGPR":
+        X = jnp.asarray(X)
+        Y = jnp.asarray(Y)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        Zp = param(jnp.asarray(Z, X.dtype)) if trainable_Z else fixed(jnp.asarray(Z, X.dtype))
+        return cls(kernel=kernel, likelihood=Gaussian.create(noise_variance, dtype=X.dtype),
+                   Z=Zp, X=X, Y=Y.astype(X.dtype))
+
+    # ------------------------------------------------------------------ #
+    def _common(self):
+        Z = self.Z.value
+        sigma2 = self.likelihood.variance.value
+        sigma = jnp.sqrt(sigma2)
+        Kuu = self.kernel.K(Z)
+        Kuf = self.kernel.K(Z, self.X)  # [M, N]
+        L = cholesky(Kuu)  # jittered
+        A = solve_lower(L, Kuf) / sigma  # [M, N]
+        B = A @ A.T + jnp.eye(A.shape[0], dtype=A.dtype)
+        LB = cholesky(B, jitter=0.0)
+        Aerr = A @ self.Y
+        c = solve_lower(LB, Aerr) / sigma  # [M, R]
+        return L, A, LB, c, sigma2
+
+    def elbo(self) -> jnp.ndarray:
+        L, A, LB, c, sigma2 = self._common()
+        N, R = self.Y.shape
+        kdiag_sum = jnp.sum(self.kernel.K_diag(self.X))
+        trace_term = jnp.sum(A * A)  # tr(A A^T) in the whitened space
+        bound = (
+            -0.5 * N * R * _LOG2PI
+            - R * jnp.sum(jnp.log(jnp.diag(LB)))
+            - 0.5 * N * R * jnp.log(sigma2)
+            - 0.5 * jnp.sum(self.Y * self.Y) / sigma2
+            + 0.5 * jnp.sum(c * c)
+            - 0.5 * R * (kdiag_sum / sigma2 - trace_term)
+        )
+        return bound
+
+    def training_loss(self) -> jnp.ndarray:
+        return -(self.elbo() + log_prior_density(self))
+
+    # ------------------------------------------------------------------ #
+    def predict_f(self, Xnew, full_cov: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        L, A, LB, c, _ = self._common()
+        Xnew = jnp.asarray(Xnew)
+        Kus = self.kernel.K(self.Z.value, Xnew)  # [M, S]
+        tmp1 = solve_lower(L, Kus)  # [M, S]
+        tmp2 = solve_lower(LB, tmp1)  # [M, S]
+        mean = tmp2.T @ c
+        if full_cov:
+            cov = self.kernel.K(Xnew) - tmp1.T @ tmp1 + tmp2.T @ tmp2
+            return mean, cov
+        var = (
+            self.kernel.K_diag(Xnew)
+            - jnp.sum(tmp1 * tmp1, axis=0)
+            + jnp.sum(tmp2 * tmp2, axis=0)
+        )
+        return mean, var[:, None] * jnp.ones((1, self.Y.shape[1]), var.dtype)
+
+    def predict_y(self, Xnew):
+        mu, var = self.predict_f(Xnew)
+        return self.likelihood.predict_mean_and_var(mu, var)
+
+    def predict_log_density(self, Xnew, Ynew) -> jnp.ndarray:
+        mu, var = self.predict_f(Xnew)
+        Ynew = jnp.asarray(Ynew)
+        if Ynew.ndim == 1:
+            Ynew = Ynew[:, None]
+        return jnp.sum(self.likelihood.predict_log_density(mu, var, Ynew), axis=-1)
+
+    # ------------------------------------------------------------------ #
+    def posterior_stats(self):
+        """(alpha, Qinv): predictive mean = Kxu alpha, predictive covariance
+        = Kxx - Kxu Qinv Kux. Matches the reference's hand-derived SGPR branch
+        (utils.py:180-204): alpha = L^{-T} LB^{-T} c; Qinv = L^{-T}(I - B^{-1})L^{-1}."""
+        L, A, LB, c, _ = self._common()
+        alpha = solve_upper(L, solve_upper(LB, c))
+        M = L.shape[0]
+        eye = jnp.eye(M, dtype=L.dtype)
+        Linv = solve_lower(L, eye)
+        LBinv_Linv = solve_lower(LB, Linv)
+        Qinv = Linv.T @ Linv - LBinv_Linv.T @ LBinv_Linv
+        return alpha, Qinv
+
+    @property
+    def data(self):
+        return self.X, self.Y
+
+    @property
+    def inducing_points(self):
+        return self.Z.value

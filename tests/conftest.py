@@ -11,6 +11,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the suite is compile-dominated on CPU.
+jax.config.update("jax_compilation_cache_dir", "/tmp/oak_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,171 @@
+"""GP model correctness: GPR marginal likelihood vs direct numpy, SGPR bound
+properties and Z=X equivalence to exact GP, SVGP prior/posterior consistency,
+and posterior_stats reproducing predict_f across all models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oak_tpu.kernels import OAKKernel
+from oak_tpu.models import GPR, SGPR, SVGP, Bernoulli, Gaussian
+
+
+def _make_data(rng, n=25, d=2):
+    X = rng.normal(size=(n, d))
+    y = np.sin(X[:, 0]) + 0.5 * X[:, 1] ** 2 + 0.1 * rng.normal(size=n)
+    return X, y.reshape(-1, 1)
+
+
+def _kernel(d=2, depth=2):
+    return OAKKernel.create(num_dims=d, max_interaction_depth=depth)
+
+
+def test_gpr_lml_matches_numpy(rng):
+    X, y = _make_data(rng)
+    m = GPR.create(X, y, _kernel(), noise_variance=0.1)
+    K = np.asarray(m.kernel.K(jnp.asarray(X)))
+    Ky = K + 0.1 * np.eye(len(X))
+    sign, logdet = np.linalg.slogdet(Ky)
+    quad = y[:, 0] @ np.linalg.solve(Ky, y[:, 0])
+    expected = -0.5 * (quad + logdet + len(X) * np.log(2 * np.pi))
+    np.testing.assert_allclose(float(m.log_marginal_likelihood()), expected, rtol=1e-8)
+
+
+def test_gpr_predict_train_points_interpolates(rng):
+    X, y = _make_data(rng)
+    m = GPR.create(X, y, _kernel(), noise_variance=1e-5)
+    mu, var = m.predict_f(X)
+    # near-noiseless GP approximately interpolates the training targets
+    resid = np.abs(np.asarray(mu) - y)
+    assert np.mean(resid) < 0.02
+    assert np.max(resid) < 0.15
+    assert np.all(np.asarray(var) >= -1e-9)
+
+
+def test_gpr_posterior_stats_consistent(rng):
+    X, y = _make_data(rng)
+    Xs = rng.normal(size=(7, 2))
+    m = GPR.create(X, y, _kernel(), noise_variance=0.1)
+    mu, var = m.predict_f(Xs)
+    alpha, Qinv = m.posterior_stats()
+    Kxu = np.asarray(m.kernel.K(jnp.asarray(Xs), jnp.asarray(X)))
+    np.testing.assert_allclose(np.asarray(mu), Kxu @ np.asarray(alpha), rtol=1e-7, atol=1e-9)
+    var2 = np.asarray(m.kernel.K_diag(jnp.asarray(Xs))) - np.einsum(
+        "sm,mn,sn->s", Kxu, np.asarray(Qinv), Kxu
+    )
+    np.testing.assert_allclose(np.asarray(var)[:, 0], var2, rtol=1e-6, atol=1e-9)
+
+
+def test_sgpr_bound_below_lml_and_tight_at_Z_eq_X(rng):
+    X, y = _make_data(rng, n=30)
+    k = _kernel()
+    gpr = GPR.create(X, y, k, noise_variance=0.1)
+    lml = float(gpr.log_marginal_likelihood())
+
+    Z = X[rng.choice(30, 10, replace=False)]
+    sgpr = SGPR.create(X, y, k, Z, noise_variance=0.1)
+    assert float(sgpr.elbo()) < lml + 1e-6
+
+    sgpr_full = SGPR.create(X, y, k, X.copy(), noise_variance=0.1)
+    # collapsed bound is tight when Z = X (up to jitter)
+    np.testing.assert_allclose(float(sgpr_full.elbo()), lml, rtol=1e-4)
+
+
+def test_sgpr_predict_matches_gpr_at_Z_eq_X(rng):
+    X, y = _make_data(rng, n=20)
+    Xs = rng.normal(size=(6, 2))
+    k = _kernel()
+    gpr = GPR.create(X, y, k, noise_variance=0.1)
+    sgpr = SGPR.create(X, y, k, X.copy(), noise_variance=0.1)
+    mu1, var1 = gpr.predict_f(Xs)
+    mu2, var2 = sgpr.predict_f(Xs)
+    # agreement limited by the 1e-6 jitter SGPR adds to Kuu
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var2), atol=1e-3)
+
+
+def test_sgpr_posterior_stats_consistent(rng):
+    X, y = _make_data(rng, n=30)
+    Xs = rng.normal(size=(5, 2))
+    Z = X[:8]
+    m = SGPR.create(X, y, _kernel(), Z, noise_variance=0.1)
+    mu, var = m.predict_f(Xs)
+    alpha, Qinv = m.posterior_stats()
+    Kxu = np.asarray(m.kernel.K(jnp.asarray(Xs), jnp.asarray(Z)))
+    np.testing.assert_allclose(np.asarray(mu), Kxu @ np.asarray(alpha), rtol=1e-6, atol=1e-8)
+    var2 = np.asarray(m.kernel.K_diag(jnp.asarray(Xs))) - np.einsum(
+        "sm,mn,sn->s", Kxu, np.asarray(Qinv), Kxu
+    )
+    np.testing.assert_allclose(np.asarray(var)[:, 0], var2, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("q_diag", [True, False])
+def test_svgp_prior_state(rng, q_diag):
+    X, y = _make_data(rng, n=15)
+    k = _kernel()
+    Z = X[:6]
+    m = SVGP.create(k, Gaussian.create(0.1), Z, q_diag=q_diag)
+    # untrained q: mean 0, prior variance, zero KL
+    assert float(m.prior_kl()) == pytest.approx(0.0, abs=1e-10)
+    mu, var = m.predict_f(X)
+    np.testing.assert_allclose(np.asarray(mu), 0.0, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(var)[:, 0], np.asarray(k.K_diag(jnp.asarray(X))), rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("q_diag", [True, False])
+@pytest.mark.parametrize("whiten", [True, False])
+def test_svgp_posterior_stats_consistent(rng, q_diag, whiten):
+    X, y = _make_data(rng, n=15)
+    k = _kernel()
+    Z = X[:6]
+    m = SVGP.create(k, Gaussian.create(0.1), Z, q_diag=q_diag, whiten=whiten)
+    # randomize q
+    key = jax.random.PRNGKey(1)
+    m = m.replace(q_mu=m.q_mu.assign(jax.random.normal(key, m.q_mu.value.shape)))
+    qs = m.q_sqrt.value
+    m = m.replace(q_sqrt=m.q_sqrt.assign(qs * 0.7 + 0.1 * jnp.abs(qs)))
+
+    Xs = rng.normal(size=(5, 2))
+    mu, var = m.predict_f(Xs)
+    alpha, Qinv = m.posterior_stats()
+    Kxu = np.asarray(m.kernel.K(jnp.asarray(Xs), jnp.asarray(Z)))
+    np.testing.assert_allclose(np.asarray(mu), Kxu @ np.asarray(alpha), rtol=1e-6, atol=1e-8)
+    var2 = np.asarray(m.kernel.K_diag(jnp.asarray(Xs))) - np.einsum(
+        "sm,mn,sn->s", Kxu, np.asarray(Qinv), Kxu
+    )
+    np.testing.assert_allclose(np.asarray(var)[:, 0], var2, rtol=1e-5, atol=1e-8)
+
+
+def test_svgp_gaussian_elbo_below_lml(rng):
+    X, y = _make_data(rng, n=20)
+    k = _kernel()
+    gpr = GPR.create(X, y, k, noise_variance=0.1)
+    m = SVGP.create(k, Gaussian.create(0.1), X.copy(), q_diag=False, num_data=20)
+    assert float(m.elbo(X, y)) < float(gpr.log_marginal_likelihood())
+
+
+def test_svgp_bernoulli_elbo_finite_and_differentiable(rng):
+    n = 20
+    X = rng.normal(size=(n, 2))
+    y = (X[:, 0] > 0).astype(float).reshape(-1, 1)
+    k = _kernel()
+    m = SVGP.create(k, Bernoulli.create("logit"), X[:5].copy(), q_diag=True)
+
+    def loss(model):
+        return model.training_loss(X, y)
+
+    val, grads = jax.value_and_grad(loss)(m)
+    assert np.isfinite(float(val))
+    gl = jax.tree_util.tree_leaves(grads.q_mu)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in gl)
+
+
+def test_gaussian_vs_bernoulli_predict_log_density_shapes(rng):
+    X, y = _make_data(rng, n=12)
+    m = GPR.create(X, y, _kernel(), noise_variance=0.1)
+    ld = m.predict_log_density(X, y)
+    assert ld.shape == (12,)
+    assert np.all(np.isfinite(np.asarray(ld)))

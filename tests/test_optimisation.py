@@ -1,0 +1,57 @@
+"""Optimization sanity (reference tests/test_optimisation.py pattern): a few
+iterations strictly improve the objective, for both the scipy bridge and the
+on-device optimizers; non-trainable params stay fixed."""
+
+import numpy as np
+
+from oak_tpu.kernels import OAKKernel
+from oak_tpu.models import GPR, SGPR
+from oak_tpu.optim import fit_adam, fit_lbfgs, fit_scipy
+
+
+def _model(rng, n=20, sparse=False):
+    X = rng.normal(size=(n, 2))
+    y = (np.sin(X[:, 0]) + 0.3 * X[:, 1]).reshape(-1, 1) + 0.05 * rng.normal(size=(n, 1))
+    k = OAKKernel.create(num_dims=2, max_interaction_depth=2, use_sparsity_prior=True)
+    if sparse:
+        return SGPR.create(X, y, k, X[:7].copy(), noise_variance=0.01)
+    return GPR.create(X, y, k, noise_variance=0.01)
+
+
+def test_scipy_bfgs_improves(rng):
+    m = _model(rng)
+    loss0 = float(m.training_loss())
+    res = fit_scipy(m, lambda mm: mm.training_loss(), method="BFGS", max_iters=5)
+    assert res.fun < loss0
+
+
+def test_lbfgs_improves(rng):
+    m = _model(rng)
+    loss0 = float(m.training_loss())
+    res = fit_lbfgs(m, lambda mm: mm.training_loss(), max_iters=5)
+    assert res.fun < loss0
+
+
+def test_adam_improves(rng):
+    m = _model(rng)
+    loss0 = float(m.training_loss())
+    res = fit_adam(m, lambda mm: mm.training_loss(), steps=30, lr=5e-2)
+    assert res.fun < loss0
+
+
+def test_fixed_params_untouched(rng):
+    m = _model(rng, sparse=True)
+    Z0 = np.asarray(m.Z.value).copy()
+    res = fit_scipy(m, lambda mm: mm.training_loss(), max_iters=3)
+    np.testing.assert_array_equal(np.asarray(res.model.Z.value), Z0)
+    # pinned base variances (share_var mode) stay exactly 1
+    for k in res.model.kernel.kernels:
+        np.testing.assert_allclose(float(k.variance.value), 1.0)
+
+
+def test_scipy_and_lbfgs_agree_at_convergence(rng):
+    m = _model(rng, n=15)
+    r1 = fit_scipy(m, lambda mm: mm.training_loss(), max_iters=300)
+    r2 = fit_lbfgs(m, lambda mm: mm.training_loss(), max_iters=300)
+    # converged objective parity (trajectories differ; reference SURVEY §7)
+    assert abs(r1.fun - r2.fun) < 1e-3 * max(1.0, abs(r1.fun))

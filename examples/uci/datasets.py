@@ -1,0 +1,78 @@
+"""Dataset loading for the UCI examples.
+
+Loads the .mat files fetched by data/download_data.py when present; otherwise
+generates synthetic data with the real datasets' shapes so the pipelines run
+end-to-end in offline environments (this image has no egress).
+"""
+
+import os
+
+import numpy as np
+
+DATA_DIR = os.path.abspath(os.path.join(os.path.dirname(__file__), "../../data"))
+
+# (filename, n, d) for the datasets the reference uses
+REGRESSION_SHAPES = {
+    "autoMPG": ("autompg.mat", 392, 7),
+    "housing": ("housing.mat", 506, 13),
+    "concrete": ("r_concrete_1030.mat", 1030, 8),
+    "pumadyn": ("pumadyn8nh.mat", 8192, 8),
+}
+CLASSIFICATION_SHAPES = {
+    "breast": ("breast.mat", 449, 9),
+    "pima": ("pima.mat", 768, 8),
+    "sonar": ("sonar.mat", 208, 60),
+    "ionosphere": ("ionosphere.mat", 351, 32),
+    "liver": ("r_liver.mat", 345, 6),
+    "heart": ("r_heart.mat", 297, 13),
+}
+
+
+def _synthetic_regression(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    w = rng.normal(size=d) / np.sqrt(d)
+    y = X @ w + 0.5 * np.sin(2 * X[:, 0]) + 0.3 * X[:, 1 % d] * X[:, 2 % d]
+    y = y + 0.1 * rng.normal(size=n)
+    return X, y.reshape(-1, 1)
+
+
+def _synthetic_classification(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    w = rng.normal(size=d) / np.sqrt(d)
+    logits = 2.0 * (X @ w + 0.5 * X[:, 0] * X[:, 1 % d])
+    y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-logits))).astype(float)
+    return X, y.reshape(-1, 1)
+
+
+def load_regression(name: str, data_dir: str = DATA_DIR):
+    fname, n, d = REGRESSION_SHAPES[name]
+    path = os.path.join(data_dir, fname)
+    if os.path.exists(path):
+        from scipy import io
+
+        mat = io.loadmat(path)
+        if name == "autoMPG":
+            # autoMPG stores y as column 0 of X (reference
+            # uci_regression_train.py:69-71)
+            X, y = mat["X"][:, 1:], mat["X"][:, :1]
+        else:
+            X, y = mat["X"], mat["y"]
+        return np.asarray(X, float), np.asarray(y, float).reshape(-1, 1)
+    print(f"[datasets] {path} not found; using synthetic data with shape ({n}, {d})")
+    return _synthetic_regression(n, d)
+
+
+def load_classification(name: str, data_dir: str = DATA_DIR):
+    fname, n, d = CLASSIFICATION_SHAPES[name]
+    path = os.path.join(data_dir, fname)
+    if os.path.exists(path):
+        from scipy import io
+
+        mat = io.loadmat(path)
+        X, y = np.asarray(mat["X"], float), np.asarray(mat["y"], float).reshape(-1, 1)
+        y = (y + 1) / 2  # {-1, 1} -> {0, 1} (reference :84)
+        return X, y
+    print(f"[datasets] {path} not found; using synthetic data with shape ({n}, {d})")
+    return _synthetic_classification(n, d)

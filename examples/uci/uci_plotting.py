@@ -1,0 +1,43 @@
+"""Load a saved fold model and plot the top effects.
+
+Rebuild of the reference's examples/uci/uci_plotting.py — but loading is a
+one-liner because checkpoints carry full wrapper state (no shape-matched
+rebuild needed, cf. reference :163-200).
+"""
+
+import argparse
+from pathlib import Path
+
+# Feature-name tables for the documented datasets (reference :19-96)
+COVARIATE_NAMES = {
+    "autoMPG": ["cylinders", "displacement", "horsepower", "weight",
+                "acceleration", "year", "origin"],
+    "housing": ["CRIM", "ZN", "INDUS", "CHAS", "NOX", "RM", "AGE", "DIS",
+                "RAD", "TAX", "PTRATIO", "B", "LSTAT"],
+    "concrete": ["cement", "blast furnace slag", "fly ash", "water",
+                 "superplasticizer", "coarse aggregate", "fine aggregate", "age"],
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset_name", default="autoMPG")
+    ap.add_argument("--fold", type=int, default=0)
+    ap.add_argument("--top_n", type=int, default=5)
+    args = ap.parse_args()
+
+    from oak_tpu import oak_model
+
+    out_dir = Path(__file__).parent / "outputs" / args.dataset_name
+    oak = oak_model.load(out_dir / f"model_oak_{args.fold}.npz")
+    names = COVARIATE_NAMES.get(args.dataset_name)
+    figs = oak.plot(
+        X_columns=names,
+        top_n=args.top_n,
+        save_fig=str(out_dir / "decomposition"),
+    )
+    print(f"saved {len(figs)} figures to {out_dir / 'decomposition'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""UCI regression benchmark — K-fold OAK regression with Sobol analysis.
+
+Rebuild of the reference's examples/uci/uci_regression_train.py: same CLI
+(--dataset_name, --k), same per-fold output schema (out_<fold>.npz with rmse /
+nll / sobol / cumulative_sobol / sobol_order), same cumulative-Sobol-vs-RMSE
+curve built by adding components in Sobol order, and the sanity check that
+per-component predictions sum to the full predictive mean.
+"""
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+from datasets import load_regression
+
+
+def kfold_indices(n, k, seed=4):
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(n)
+    folds = np.array_split(np.arange(n), k)
+    return [(idx, np.setdiff1d(np.arange(n), f), f) for f in folds]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset_name", default="autoMPG")
+    ap.add_argument("--k", type=int, default=5, help="k-fold train-test splits")
+    ap.add_argument("--max_iters", type=int, default=500)
+    ap.add_argument("--depth", type=int, default=None)
+    args = ap.parse_args()
+
+    X, y = load_regression(args.dataset_name)
+    n, d = X.shape
+    depth = args.depth if args.depth is not None else d
+
+    out_dir = Path(__file__).parent / "outputs" / args.dataset_name
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    np.random.seed(4)
+    perm = np.random.permutation(n)
+    X, y = X[perm], y[perm]
+
+    from oak_tpu import oak_model
+    from sklearn.model_selection import KFold
+
+    kf = KFold(n_splits=args.k)
+    for fold, (train_index, test_index) in enumerate(kf.split(X)):
+        X_train, X_test = X[train_index], X[test_index]
+        y_train, y_test = y[train_index], y[test_index]
+
+        t0 = time.time()
+        oak = oak_model(max_interaction_depth=depth, num_inducing=500,
+                        sparse=X_train.shape[0] > 1000)
+        oak.fit(X_train, y_train, optimise=False)
+        oak.optimise(max_iters=args.max_iters)
+        train_time = time.time() - t0
+
+        y_pred = oak.predict(X_test, clip=True)
+        rmse = float(np.sqrt(np.mean((y_pred - y_test[:, 0]) ** 2)))
+        nll = float(-oak.get_loglik(X_test, y_test, clip=True))
+
+        # Sobol + cumulative-Sobol-vs-RMSE curve (reference :123-136)
+        t1 = time.time()
+        sobols = oak.get_sobol()
+        sobol_time = time.time() - t1
+        tuples = oak.tuple_of_indices
+        order = np.argsort(sobols)[::-1]
+
+        comps = oak.get_prediction_components(X_test, clip=True)  # [C, N]
+        alpha, _ = oak.m.posterior_stats()
+        constant = float(np.asarray(alpha).sum()
+                         * np.asarray(oak.m.kernel.variances[0].value))
+        y_base = np.ones(len(test_index)) * constant
+
+        # sanity: components + constant reproduce the predictive mean
+        total_scaled = comps.sum(axis=0) + constant
+        mu_scaled = np.asarray(oak.m.predict_f(
+            oak._transform_x(np.clip(X_test, oak.xmin, oak.xmax)))[0])[:, 0]
+        np.testing.assert_allclose(total_scaled, mu_scaled, rtol=1e-4, atol=1e-6)
+
+        cumulative_sobol, rmse_component = [], []
+        acc = y_base.copy()
+        for c in order:
+            acc = acc + comps[c]
+            y_unscaled = oak.scaler_y.inverse_transform(acc.reshape(-1, 1))[:, 0]
+            rmse_component.append(
+                float(np.sqrt(np.mean((y_unscaled - y_test[:, 0]) ** 2))))
+            cumulative_sobol.append(sobols[c])
+        cumulative_sobol = np.cumsum(cumulative_sobol)
+
+        sobol_order = np.zeros(depth)
+        for t, v in zip(tuples, sobols):
+            sobol_order[len(t) - 1] += v
+
+        oak.save(out_dir / f"model_oak_{fold}.npz")
+        np.savez(
+            out_dir / f"out_{fold}",
+            rmse=rmse,
+            nll=nll,
+            sobol=sobols,
+            cumulative_sobol=cumulative_sobol,
+            rmse_component=rmse_component,
+            sobol_order=sobol_order,
+            train_time=train_time,
+            sobol_time=sobol_time,
+        )
+        print(json.dumps({
+            "fold": fold, "rmse": round(rmse, 4), "nll": round(nll, 4),
+            "train_s": round(train_time, 1), "sobol_s": round(sobol_time, 2),
+            "sobol_order": [round(float(v), 4) for v in sobol_order[:4]],
+        }))
+
+
+if __name__ == "__main__":
+    main()

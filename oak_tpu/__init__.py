@@ -24,5 +24,16 @@ from .measures import (
     UniformMeasure,
 )
 from .params import Gamma, Normal, Param, bounded, fixed, param, positive
+from .flows import Normalizer, fit_normalizer
+from .model import create_model_oak, oak_model
+from .models import GPR, SGPR, SVGP, Bernoulli, Gaussian
+from .optim import fit_adam, fit_lbfgs, fit_scipy
+from .sobol import (
+    compute_sobol_by_order,
+    compute_sobol_oak,
+    get_prediction_component,
+    normalize_sobol,
+)
+from .checkpoint import load_oak_model, load_params, save_oak_model, save_params
 
 __version__ = "0.1.0"

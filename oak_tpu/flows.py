@@ -1,0 +1,111 @@
+"""Per-feature normalising flow that Gaussianizes continuous inputs.
+
+TPU-native rebuild of /root/reference/oak/normalising_flow.py: the transform is
+
+    T(x) = SinhArcsinh_{skew, tail}( (u - m) * s ),   u = log(x - offset) or x
+
+with trainable (skew, tail, s, m); ``offset = min(x) - 1`` fixed when the log
+branch is on (normalising_flow.py:46-51). SinhArcsinh follows the tfp
+convention Y = sinh((asinh(X) + skew) * tail). Training minimizes
+
+    KL(T#p_data || N(0,1)) ~ 0.5 E[T(x)^2] - E[log |T'(x)|]
+
+(normalising_flow.py:74-79). Everything is scalar-parameter elementwise math —
+one fused XLA kernel per feature; fitting uses the shared optimizers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .bijectors import Exp
+from .params import Param, param
+from .optim import fit_scipy
+
+
+@struct.dataclass
+class Normalizer:
+    skewness: Param
+    tailweight: Param  # Exp-transformed (positive)
+    scale: Param  # Exp-transformed (positive), init 1/std
+    shift: Param  # init -mean
+    offset: jnp.ndarray  # only used when log=True
+    log: bool = struct.field(pytree_node=False, default=False)
+
+    @classmethod
+    def create(cls, x: np.ndarray, log: bool = True, dtype=None) -> "Normalizer":
+        from .config import default_float
+
+        dtype = dtype or default_float()
+        x = np.asarray(x, np.float64).reshape(-1)
+        if log:
+            offset = np.min(x) - 1.0
+            u = np.log(x - offset)
+        else:
+            offset = 0.0
+            u = x
+        return cls(
+            skewness=param(0.0, dtype=dtype),
+            tailweight=param(1.0, Exp(), dtype=dtype),
+            scale=param(1.0 / np.std(u), Exp(), dtype=dtype),
+            shift=param(-np.mean(u), dtype=dtype),
+            offset=jnp.asarray(offset, dtype),
+            log=log,
+        )
+
+    # ------------------------------------------------------------------ #
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        u = jnp.log(x - self.offset) if self.log else x
+        z = (u + self.shift.value) * self.scale.value
+        t = self.tailweight.value
+        return jnp.sinh((jnp.arcsinh(z) + self.skewness.value) * t)
+
+    def inverse(self, y: jnp.ndarray) -> jnp.ndarray:
+        t = self.tailweight.value
+        z = jnp.sinh(jnp.arcsinh(y) / t - self.skewness.value)
+        u = z / self.scale.value - self.shift.value
+        return jnp.exp(u) + self.offset if self.log else u
+
+    def forward_log_det_jacobian(self, x: jnp.ndarray) -> jnp.ndarray:
+        u = jnp.log(x - self.offset) if self.log else x
+        z = (u + self.shift.value) * self.scale.value
+        t = self.tailweight.value
+        g = (jnp.arcsinh(z) + self.skewness.value) * t
+        fldj = (
+            jnp.log(jnp.cosh(g))
+            + jnp.log(t)
+            - 0.5 * jnp.log1p(z * z)
+            + jnp.log(self.scale.value)
+        )
+        if self.log:
+            fldj = fldj - jnp.log(x - self.offset)
+        return fldj
+
+    # ------------------------------------------------------------------ #
+    def kl_objective(self, x: jnp.ndarray) -> jnp.ndarray:
+        """KL to N(0,1) up to a constant (normalising_flow.py:74-79)."""
+        y = self.forward(x)
+        return 0.5 * jnp.mean(y * y) - jnp.mean(self.forward_log_det_jacobian(x))
+
+
+def fit_normalizer(x: np.ndarray, log: bool = True, max_iters: int = 200,
+                   dtype=None) -> Normalizer:
+    """Build and L-BFGS-fit a Normalizer on one feature column (reference:
+    scipy-optimized KL at model_utils.py:313-317)."""
+    n = Normalizer.create(x, log=log, dtype=dtype)
+    xj = jnp.asarray(np.asarray(x).reshape(-1), n.offset.dtype)
+    res = fit_scipy(n, lambda m: m.kl_objective(xj), method="L-BFGS-B",
+                    max_iters=max_iters)
+    return res.model
+
+
+def kstest(normalizer: Normalizer, x) -> tuple:
+    """KS normality test of the transformed data (normalising_flow.py:81-85)."""
+    from scipy import stats
+
+    y = np.asarray(normalizer.forward(jnp.asarray(np.asarray(x).reshape(-1))))
+    return stats.kstest(y, "norm")

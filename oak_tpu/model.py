@@ -1,0 +1,408 @@
+"""The user-facing ``oak_model`` wrapper — API parity with the reference's
+``oak_model`` class (/root/reference/oak/model_utils.py:194-700): same
+constructor kwargs, fit / optimise / predict / get_loglik / get_sobol / plot
+surface, sklearn-ish numpy-at-the-boundary ergonomics, with the pure-JAX
+models underneath.
+
+Beyond the reference:
+- classification is first-class (``likelihood='bernoulli'`` builds an SVGP
+  with the jittered-logit link) instead of the model-swap hack the reference
+  scripts do (uci_classification_train.py:108-124);
+- ``predict`` raises a ValueError with a clipping hint instead of printing
+  and returning None (model_utils.py:442-443 quirk, see PARITY_NOTES.md);
+- optimizers: on-device L-BFGS (default), scipy BFGS (parity mode), or Adam.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import default_float
+from .flows import Normalizer, fit_normalizer
+from .kernels import OAKKernel
+from .measures import MOGMeasure
+from .models import GPR, SGPR, SVGP, Bernoulli, Gaussian
+from .optim import fit_adam, fit_lbfgs, fit_scipy
+from .preprocessing import (
+    StandardScaler,
+    calculate_features,
+    empirical_measure_from_column,
+    estimate_one_dim_gmm,
+    get_kmeans_centers,
+    initialize_kmeans_with_categorical,
+)
+from . import sobol as sobol_mod
+
+
+def create_model_oak(
+    data,
+    max_interaction_depth: int = 2,
+    constrain_orthogonal: bool = True,
+    inducing_pts: Optional[np.ndarray] = None,
+    optimise: bool = False,
+    zfixed: bool = True,
+    p0=None,
+    p=None,
+    lengthscale_bounds=None,
+    empirical_locations=None,
+    empirical_weights=None,
+    use_sparsity_prior: bool = True,
+    gmm_measures=None,
+    share_var_across_orders: bool = True,
+):
+    """Factory mirroring the reference's ``create_model_oak``
+    (model_utils.py:90-176): OAK kernel + GPR (or SGPR when inducing points
+    are given), Gamma(1, 0.2) sparsity prior, likelihood variance 0.01."""
+    X, Y = data
+    X = np.asarray(X, np.float64)
+    Y = np.asarray(Y, np.float64)
+    num_dims = X.shape[1]
+    kernel = OAKKernel.create(
+        num_dims=num_dims,
+        max_interaction_depth=max_interaction_depth,
+        constrain_orthogonal=constrain_orthogonal,
+        p0=p0,
+        p=p,
+        lengthscale_bounds=lengthscale_bounds,
+        empirical_locations=empirical_locations,
+        empirical_weights=empirical_weights,
+        gmm_measures=gmm_measures,
+        share_var_across_orders=share_var_across_orders,
+        use_sparsity_prior=use_sparsity_prior and share_var_across_orders,
+    )
+    if inducing_pts is not None:
+        model = SGPR.create(X, Y, kernel, inducing_pts, noise_variance=0.01,
+                            trainable_Z=not zfixed)
+    else:
+        model = GPR.create(X, Y, kernel, noise_variance=0.01)
+    if optimise:
+        model = fit_lbfgs(model, lambda m: m.training_loss()).model
+    return model
+
+
+class oak_model:
+    def __init__(
+        self,
+        max_interaction_depth: int = 2,
+        num_inducing: int = 200,
+        lengthscale_bounds: Optional[Sequence[float]] = (1e-3, 1e3),
+        binary_feature: Optional[List[int]] = None,
+        categorical_feature: Optional[List[int]] = None,
+        empirical_measure: Optional[List[int]] = None,
+        use_sparsity_prior: bool = True,
+        gmm_measure: Optional[List[int]] = None,
+        sparse: bool = False,
+        use_normalising_flow: bool = True,
+        share_var_across_orders: bool = True,
+        likelihood: str = "gaussian",
+        optimizer: str = "lbfgs",
+    ):
+        """Constructor kwargs mirror model_utils.py:195-208; ``likelihood``
+        and ``optimizer`` are new-framework extensions."""
+        self.max_interaction_depth = max_interaction_depth
+        self.num_inducing = num_inducing
+        self.lengthscale_bounds = list(lengthscale_bounds) if lengthscale_bounds else None
+        self.binary_feature = binary_feature
+        self.categorical_feature = categorical_feature
+        self.use_sparsity_prior = use_sparsity_prior
+        self.empirical_measure = empirical_measure
+        self.gmm_measure = gmm_measure
+        self.sparse = sparse
+        self.use_normalising_flow = use_normalising_flow
+        self.share_var_across_orders = share_var_across_orders
+        self.likelihood = likelihood
+        self.optimizer = optimizer
+
+        # state filled during fit
+        self.m = None
+        self.input_flows: Optional[List[Optional[Normalizer]]] = None
+        self.scaler_y: Optional[StandardScaler] = None
+        self.scaler_X_empirical: Optional[StandardScaler] = None
+        self.scaler_X_continuous: Optional[StandardScaler] = None
+        self.estimated_gmm_measures = None
+        self.empirical_locations = None
+        self.empirical_weights = None
+        self.continuous_index = None
+        self.binary_index = None
+        self.categorical_index = None
+        self.alpha = None
+        self.normalised_sobols = None
+        self.tuple_of_indices = None
+        self.timings = {}
+
+    # ------------------------------------------------------------------ #
+    def fit(self, X, Y, optimise: bool = True,
+            initialise_inducing_points: bool = True) -> "oak_model":
+        t0 = time.time()
+        X = np.asarray(X, np.float64)
+        Y = np.asarray(Y, np.float64)
+        if Y.ndim == 1:
+            Y = Y.reshape(-1, 1)
+        self.xmin, self.xmax = X.min(0), X.max(0)
+        self.num_dims = X.shape[1]
+
+        (self.continuous_index, self.binary_index, self.categorical_index,
+         p0, p) = calculate_features(X, self.categorical_feature, self.binary_feature)
+
+        if self.empirical_measure is not None:
+            if not set(self.empirical_measure).issubset(self.continuous_index):
+                raise ValueError(
+                    f"Empirical measure={self.empirical_measure} should only be "
+                    f"used on non-binary/categorical inputs {self.continuous_index}"
+                )
+        if self.gmm_measure is not None:
+            if len(self.gmm_measure) != self.num_dims:
+                raise ValueError(
+                    f"Must specify number of GMM components for each of the "
+                    f"{self.num_dims} input dimensions"
+                )
+            idx_gmm = np.flatnonzero(self.gmm_measure)
+            if not set(idx_gmm).issubset(self.continuous_index):
+                raise ValueError(
+                    f"GMM measure on inputs {idx_gmm} should only be used on "
+                    f"continuous inputs {self.continuous_index}"
+                )
+
+        # GMM measures per flagged continuous dim (model_utils.py:293-299)
+        self.estimated_gmm_measures = [None] * self.num_dims
+        if self.gmm_measure is not None:
+            for i in np.flatnonzero(self.gmm_measure):
+                self.estimated_gmm_measures[i] = estimate_one_dim_gmm(
+                    K=int(self.gmm_measure[i]), X=X[:, i]
+                )
+
+        # normalising flows per continuous dim (model_utils.py:305-317)
+        self.input_flows = [None] * self.num_dims
+        for i in self.continuous_index:
+            if self.empirical_measure is not None and i in self.empirical_measure:
+                continue
+            if self.estimated_gmm_measures[i] is not None:
+                continue
+            if self.use_normalising_flow:
+                self.input_flows[i] = fit_normalizer(X[:, i])
+
+        # output scaling + optional input standardization
+        self.alpha = None
+        self.scaler_y = StandardScaler().fit(Y)
+        self.Y_scaled = self.scaler_y.transform(Y)
+        if self.empirical_measure is not None:
+            self.scaler_X_empirical = StandardScaler().fit(X[:, self.empirical_measure])
+        if not self.use_normalising_flow:
+            self.scaler_X_continuous = StandardScaler().fit(X[:, self.continuous_index])
+        self.X_scaled = self._transform_x(X)
+
+        # empirical measure locations/weights on the scaled inputs
+        self.empirical_locations = [None] * self.num_dims
+        self.empirical_weights = [None] * self.num_dims
+        if self.empirical_measure is not None:
+            for i in self.empirical_measure:
+                loc, w = empirical_measure_from_column(self.X_scaled[:, i])
+                self.empirical_locations[i] = loc
+                self.empirical_weights[i] = w
+
+        # flows must not have touched discrete / fixed-measure dims
+        assert np.allclose(self.X_scaled[:, self.binary_index],
+                           X[:, self.binary_index]), "Flow applied to binary inputs"
+        assert np.allclose(self.X_scaled[:, self.categorical_index],
+                           X[:, self.categorical_index]), "Flow applied to categorical inputs"
+
+        # inducing points (model_utils.py:372-393)
+        Z = None
+        if X.shape[0] > 1000 or self.sparse or self.likelihood == "bernoulli":
+            if initialise_inducing_points:
+                if (p0 is None) and (p is None):
+                    Z = get_kmeans_centers(self.X_scaled, min(self.num_inducing,
+                                                              X.shape[0]))
+                else:
+                    Z = initialize_kmeans_with_categorical(
+                        self.X_scaled,
+                        binary_index=self.binary_index,
+                        categorical_index=self.categorical_index,
+                        continuous_index=self.continuous_index,
+                        n_clusters=min(self.num_inducing, X.shape[0]),
+                    )
+            else:
+                Z = self.X_scaled[: self.num_inducing, :]
+
+        kernel = OAKKernel.create(
+            num_dims=self.num_dims,
+            max_interaction_depth=self.max_interaction_depth,
+            p0=p0,
+            p=p,
+            lengthscale_bounds=self.lengthscale_bounds,
+            empirical_locations=self.empirical_locations,
+            empirical_weights=self.empirical_weights,
+            gmm_measures=self.estimated_gmm_measures,
+            share_var_across_orders=self.share_var_across_orders,
+            use_sparsity_prior=self.use_sparsity_prior and self.share_var_across_orders,
+        )
+
+        if self.likelihood == "bernoulli":
+            # first-class classification path (reference: SVGP swap at
+            # uci_classification_train.py:108-124)
+            if Z is None:
+                Z = self.X_scaled
+            self.m = SVGP.create(kernel, Bernoulli.create("logit"), Z,
+                                 q_diag=True, whiten=True,
+                                 num_data=self.X_scaled.shape[0])
+            self._train_data = (self.X_scaled, self.Y_scaled)
+        elif Z is not None:
+            self.m = SGPR.create(self.X_scaled, self.Y_scaled, kernel, Z,
+                                 noise_variance=0.01)
+        else:
+            self.m = GPR.create(self.X_scaled, self.Y_scaled, kernel,
+                                noise_variance=0.01)
+
+        self.timings["fit_setup"] = time.time() - t0
+        if optimise:
+            self.optimise()
+        return self
+
+    # ------------------------------------------------------------------ #
+    def _loss_fn(self):
+        if isinstance(self.m, SVGP):
+            X, Y = self._train_data
+            Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+            return lambda m: m.training_loss(Xj, Yj)
+        return lambda m: m.training_loss()
+
+    def optimise(self, max_iters: int = 1000, compile: bool = True):
+        t0 = time.time()
+        self.alpha = None
+        loss = self._loss_fn()
+        if self.optimizer == "scipy":
+            res = fit_scipy(self.m, loss, method="BFGS", max_iters=max_iters)
+        elif self.optimizer == "adam":
+            res = fit_adam(self.m, loss, steps=max_iters)
+        else:
+            res = fit_lbfgs(self.m, loss, max_iters=max_iters)
+        self.m = res.model
+        self.timings["optimise"] = time.time() - t0
+        return res
+
+    # ------------------------------------------------------------------ #
+    def _scale_y_inverse(self, y):
+        return self.scaler_y.inverse_transform(np.asarray(y))
+
+    def predict(self, X, clip: bool = False) -> np.ndarray:
+        X_scaled = self._transform_x(
+            np.clip(X, self.xmin, self.xmax) if clip else np.asarray(X, np.float64)
+        )
+        if not np.isfinite(X_scaled).all():
+            raise ValueError(
+                "test X is outside the range of the training input; "
+                "call predict(X, clip=True) to clip into range"
+            )
+        mu, _ = self.m.predict_f(X_scaled)
+        if isinstance(self.m, SVGP) and isinstance(self.m.likelihood, Bernoulli):
+            return np.asarray(self.m.likelihood.invlink(mu))[:, 0]
+        return self._scale_y_inverse(mu)[:, 0]
+
+    def predict_proba(self, X, clip: bool = False) -> np.ndarray:
+        assert self.likelihood == "bernoulli"
+        X_scaled = self._transform_x(
+            np.clip(X, self.xmin, self.xmax) if clip else np.asarray(X, np.float64)
+        )
+        mu, var = self.m.predict_f(X_scaled)
+        p, _ = self.m.likelihood.predict_mean_and_var(mu, var)
+        return np.asarray(p)[:, 0]
+
+    def get_loglik(self, X, y, clip: bool = False) -> float:
+        X_scaled = self._transform_x(
+            np.clip(X, self.xmin, self.xmax) if clip else np.asarray(X, np.float64)
+        )
+        y = np.asarray(y, np.float64)
+        if y.ndim == 1:
+            y = y.reshape(-1, 1)
+        if self.likelihood == "bernoulli":
+            ld = self.m.predict_log_density(X_scaled, y)
+            return float(np.mean(np.asarray(ld)))
+        y_scaled = self.scaler_y.transform(y)
+        ld = self.m.predict_log_density(X_scaled, y_scaled)
+        # density of the *scaled* target, as the reference computes it
+        # (model_utils.py:445-460)
+        return float(np.mean(np.asarray(ld)))
+
+    # ------------------------------------------------------------------ #
+    def _transform_x(self, X) -> np.ndarray:
+        X = np.array(X, np.float64, copy=True)
+        for i in range(X.shape[1]):
+            flow = self.input_flows[i]
+            if flow is not None:
+                X[:, i] = np.asarray(flow.forward(jnp.asarray(X[:, i])))
+        if self.empirical_measure is not None:
+            X[:, self.empirical_measure] = self.scaler_X_empirical.transform(
+                X[:, self.empirical_measure]
+            )
+        if not self.use_normalising_flow:
+            X[:, self.continuous_index] = self.scaler_X_continuous.transform(
+                X[:, self.continuous_index]
+            )
+        return X
+
+    def _get_x_inverse_transformer(self, i: int):
+        assert i in self.continuous_index
+        if self.empirical_measure is not None and i in self.empirical_measure:
+            j = self.empirical_measure.index(i)
+            mean_i = self.scaler_X_empirical.mean_[j]
+            std_i = self.scaler_X_empirical.scale_[j]
+            return lambda x: np.asarray(x) * std_i + mean_i
+        if self.gmm_measure is not None and self.estimated_gmm_measures[i] is not None:
+            return None
+        if self.input_flows[i] is not None:
+            flow = self.input_flows[i]
+            return lambda x: np.asarray(flow.inverse(jnp.asarray(np.asarray(x))))
+        if self.scaler_X_continuous is not None:
+            j = self.continuous_index.index(i)
+            mean_i = self.scaler_X_continuous.mean_[j]
+            std_i = self.scaler_X_continuous.scale_[j]
+            return lambda x: np.asarray(x) * std_i + mean_i
+        return None
+
+    # ------------------------------------------------------------------ #
+    def get_sobol(self, likelihood_variance: bool = False) -> np.ndarray:
+        tuples, sobols = sobol_mod.compute_sobol_oak(self.m)
+        lik_var = None
+        if likelihood_variance and not isinstance(self.m, SVGP):
+            lik_var = float(self.m.likelihood.variance.value)
+        self.normalised_sobols = sobol_mod.normalize_sobol(sobols, lik_var)
+        self.tuple_of_indices = tuples
+        return self.normalised_sobols
+
+    def get_sobol_by_order(self) -> np.ndarray:
+        """Normalized Sobol mass aggregated per interaction order."""
+        self.get_sobol()
+        out = np.zeros(self.max_interaction_depth)
+        for t, v in zip(self.tuple_of_indices, self.normalised_sobols):
+            out[len(t) - 1] += v
+        return out
+
+    def get_prediction_components(self, X=None, clip: bool = False) -> np.ndarray:
+        if X is not None:
+            X = self._transform_x(
+                np.clip(X, self.xmin, self.xmax) if clip else np.asarray(X, np.float64)
+            )
+        else:
+            X = self.X_scaled
+        return sobol_mod.get_prediction_component(self.m, X=X)
+
+    # ------------------------------------------------------------------ #
+    def plot(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.plot_model(self, *args, **kwargs)
+
+    def save(self, path):
+        from .checkpoint import save_oak_model
+
+        save_oak_model(self, path)
+
+    @classmethod
+    def load(cls, path) -> "oak_model":
+        from .checkpoint import load_oak_model
+
+        return load_oak_model(path)

@@ -81,6 +81,10 @@ class GPR:
         return jnp.sum(self.likelihood.predict_log_density(mu, var, Ynew), axis=-1)
 
     # ------------------------------------------------------------------ #
+    def posterior_alpha(self) -> jnp.ndarray:
+        """alpha with predictive mean = K(Xnew, X) alpha (no Qinv)."""
+        return cholesky_solve(self._chol(), self.Y)
+
     def posterior_stats(self):
         """(alpha, Qinv) with predictive mean = K(Xnew,X) alpha and
         covariance = K(Xnew) - K(Xnew,X) Qinv K(X,Xnew); the GPR branch of the

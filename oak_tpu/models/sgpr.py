@@ -106,6 +106,10 @@ class SGPR:
         return jnp.sum(self.likelihood.predict_log_density(mu, var, Ynew), axis=-1)
 
     # ------------------------------------------------------------------ #
+    def posterior_alpha(self) -> jnp.ndarray:
+        L, A, LB, c, _ = self._common()
+        return solve_upper(L, solve_upper(LB, c))
+
     def posterior_stats(self):
         """(alpha, Qinv): predictive mean = Kxu alpha, predictive covariance
         = Kxx - Kxu Qinv Kux. Matches the reference's hand-derived SGPR branch

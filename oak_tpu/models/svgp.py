@@ -158,6 +158,12 @@ class SVGP:
         return -(self.elbo(X, Y) + log_prior_density(self))
 
     # ------------------------------------------------------------------ #
+    def posterior_alpha(self) -> jnp.ndarray:
+        Luu = cholesky(self.kernel.K(self.Z.value))
+        if self.whiten:
+            return solve_upper(Luu, self.q_mu.value)
+        return solve_upper(Luu, solve_lower(Luu, self.q_mu.value))
+
     def posterior_stats(self):
         """(alpha, Qinv) a la GPflow posteriors: predictive mean = Kxu alpha,
         covariance = Kxx - Kxu Qinv Kux (utils.py:174-179). Whitened:

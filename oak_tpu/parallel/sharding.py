@@ -1,0 +1,85 @@
+"""Multi-chip scaling via jax.sharding + jit.
+
+The reference is single-process CPU (SURVEY §2.3: no distributed code at all),
+so this layer is a TPU-native design obligation rather than a port. The OAK
+workload's natural scaling axis is N (data): inducing points Z and all
+hyperparameters are small and replicated, while Kuf construction and the
+per-datapoint variational expectations shard over N. With parameters
+replicated and the batch sharded, XLA inserts the psum over ICI for the
+gradient all-reduce — no hand-written collectives needed (scaling-book
+recipe: pick a mesh, annotate shardings, let XLA do the rest).
+
+M-sharding (very large inducing sets) would shard Kuu block-rows and use a
+distributed Cholesky; not warranted at the reference's scales (M <= 512) —
+documented deliberately rather than invented (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..params import flatten_trainable
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(mesh: Mesh, *arrays, axis: str = DATA_AXIS):
+    """Place arrays with their leading (data) dimension sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    out = tuple(jax.device_put(jnp.asarray(a), sharding) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def data_parallel_elbo_step(model, mesh: Mesh, learning_rate: float = 1e-2,
+                            axis: str = DATA_AXIS):
+    """Build a jitted data-parallel Adam step on the SVGP ELBO.
+
+    Returns (step_fn, init_state): ``step_fn(vec, opt_state, X, Y)`` expects
+    the flat trainable vector + optimizer state replicated and (X, Y) sharded
+    over the data axis; it returns updated (vec, opt_state, loss). The
+    gradient all-reduce over shards is inserted by XLA.
+    """
+    vec0, unflatten = flatten_trainable(model)
+    opt = optax.adam(learning_rate)
+
+    def loss_fn(vec, X, Y):
+        m = unflatten(vec)
+        return m.training_loss(X, Y)
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, repl, shard, shard),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+    def step(vec, opt_state, X, Y):
+        loss, grads = jax.value_and_grad(loss_fn)(vec, X, Y)
+        updates, opt_state = opt.update(grads, opt_state)
+        vec = optax.apply_updates(vec, updates)
+        return vec, opt_state, loss
+
+    vec0 = replicate(mesh, vec0)
+    opt_state = replicate(mesh, opt.init(vec0))
+    return step, (vec0, opt_state, unflatten)

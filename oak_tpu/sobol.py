@@ -1,0 +1,477 @@
+"""Analytic Sobol indices and per-component predictions.
+
+Rebuild of the interpretability layer (/root/reference/oak/utils.py:116-530).
+For each additive component c with dims S and posterior weights alpha, the
+(unnormalized) Sobol index is
+
+    R_c = alpha^T ( prod_{d in S} L_d ) alpha        (Hadamard product)
+
+where L_d[i, j] = ∫ K_d(x_i, s) K_d(x_j, s) dμ_d(s) is the per-dimension
+second-moment matrix under dim d's input measure. Closed forms:
+
+- Gaussian measure + RBF: the f1 - f2 - f3 + f4 integrals of the paper's
+  App. G.1 eqs (44)-(47) (reference utils.py:116-165, 221-240), vectorized by
+  broadcasting on the [N, N] grid instead of numpy repeat/tile.
+- Empirical measure: L = Kxu^T diag(w) Kxu (utils.py:312-335) — one matmul.
+- Binary / categorical: L = B_x diag(p) B_x^T with B_x the gathered table rows
+  (utils.py:243-309) — matmul over C columns.
+- MOG measure: NOT supported by the reference (NotImplementedError,
+  utils.py:413-414). Here it IS supported via per-component Gauss-Hermite:
+  L = G diag(w ⊗ ω) G^T with G = K(x, s_grid) — an MXU matmul, exact to
+  quadrature order for the smooth RBF integrand.
+- Uniform measure: also beyond the reference — Gauss-Legendre on [a, b].
+
+Everything returns per-dim L matrices once ([D, N, N] worth of work), after
+which all C(D, ≤P) components are evaluated by a scanned Hadamard-product
+quadratic form on device — replacing the reference's CPU numpy loop (§3.4 of
+SURVEY.md). Per-order totals reuse Newton-Girard over the L matrices, giving
+O(D·P) totals with no tuple enumeration.
+
+Variance convention: L_d is computed with the kernel's own base variance; in
+shared-variance mode the component result is scaled by variances[order]^2
+(since Var[f_c] is quadratic in the kernel scale). NOTE the reference scales
+binary-kernel components by v^1 (utils.py:418) while scaling Gaussian (σ⁴ in
+f1..f4), categorical, and empirical branches by v^2 — an inconsistency we fix
+rather than clone (see PARITY_NOTES.md).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .kernels import (
+    OAKKernel,
+    OrthogonalBinary,
+    OrthogonalCategorical,
+    OrthogonalRBF,
+    component_index_tuples,
+)
+from .kernels import ortho_binary, ortho_categorical, ortho_rbf
+from .measures import (
+    EmpiricalMeasure,
+    GaussianMeasure,
+    MOGMeasure,
+    UniformMeasure,
+)
+from .ops.newton_girard import newton_girard
+
+
+# --------------------------------------------------------------------------- #
+# Closed-form Gaussian-measure integrals (paper App. G.1 eqs 44-47)
+# --------------------------------------------------------------------------- #
+def f1(x, y, sigma, l, delta, mu):
+    return (
+        sigma ** 4
+        * l
+        / jnp.sqrt(l ** 2 + 2 * delta ** 2)
+        * jnp.exp(-((x - y) ** 2) / (4 * l ** 2))
+        * jnp.exp(-((mu - (x + y) / 2) ** 2) / (2 * delta ** 2 + l ** 2))
+    )
+
+
+def f2(x, y, sigma, l, delta, mu):
+    M = 1 / l ** 2 + 1 / (l ** 2 + delta ** 2)
+    m = (mu / (l ** 2 + delta ** 2) + x / l ** 2) / M
+    C = x ** 2 / l ** 2 + mu ** 2 / (l ** 2 + delta ** 2) - m ** 2 * M
+    return (
+        sigma ** 4
+        * l
+        * jnp.sqrt((l ** 2 + 2 * delta ** 2) / (delta ** 2 * M + 1))
+        * jnp.exp(-C / 2)
+        / (l ** 2 + delta ** 2)
+        * jnp.exp(-((y - mu) ** 2) / (2 * (l ** 2 + delta ** 2)))
+        * jnp.exp(-((m - mu) ** 2) / (2 * (1 / M + delta ** 2)))
+    )
+
+
+def f3(x, y, sigma, l, delta, mu):
+    return f2(y, x, sigma, l, delta, mu)
+
+
+def f4(x, y, sigma, l, delta, mu):
+    return (
+        sigma ** 4
+        * l ** 2
+        * (l ** 2 + 2 * delta ** 2)
+        * jnp.sqrt((l ** 2 + delta ** 2) / (l ** 2 + 3 * delta ** 2))
+        / ((l ** 2 + delta ** 2) ** 2)
+        * jnp.exp(-((x - mu) ** 2 + (y - mu) ** 2) / (2 * (l ** 2 + delta ** 2)))
+    )
+
+
+def compute_L_gaussian(x: jnp.ndarray, lengthscale, variance, delta, mu) -> jnp.ndarray:
+    """[N, N] L matrix for an OrthogonalRBF dim under N(mu, delta^2)
+    (reference compute_L, utils.py:221-240), by broadcasting."""
+    sigma = jnp.sqrt(variance)
+    xi = x[:, None]
+    yj = x[None, :]
+    return (
+        f1(xi, yj, sigma, lengthscale, delta, mu)
+        - f2(xi, yj, sigma, lengthscale, delta, mu)
+        - f3(xi, yj, sigma, lengthscale, delta, mu)
+        + f4(xi, yj, sigma, lengthscale, delta, mu)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Quadrature / matmul L matrices
+# --------------------------------------------------------------------------- #
+def compute_L_empirical(kernel: OrthogonalRBF, x: jnp.ndarray) -> jnp.ndarray:
+    """L = Kxu^T diag(w) Kxu over the empirical locations (utils.py:312-335)."""
+    m: EmpiricalMeasure = kernel.measure
+    loc = m.location[:, 0]
+    w = m.weights[:, 0]
+    kxu = ortho_rbf.K(kernel, loc, x)  # [E, N]
+    return (w[:, None] * kxu).T @ kxu
+
+
+def compute_L_binary(kernel: OrthogonalBinary, x: jnp.ndarray) -> jnp.ndarray:
+    """L = B_x diag(p) B_x^T with the *full-variance* B (fixes the reference's
+    v^1 scaling at utils.py:266-269; see module docstring)."""
+    B = ortho_binary.output_covariance(kernel)  # [2, 2], includes sigma^2
+    p = jnp.stack([kernel.p0, 1.0 - kernel.p0])
+    Bx = B[x.astype(jnp.int32)]  # [N, 2]
+    return (Bx * p[None, :]) @ Bx.T
+
+
+def compute_L_categorical(kernel: OrthogonalCategorical, x: jnp.ndarray) -> jnp.ndarray:
+    """utils.py:275-309: L = K^T (K * p) with K = B[:, x]."""
+    B = ortho_categorical.output_covariance(kernel)  # [C, C]
+    Bx = B[x.astype(jnp.int32)]  # [N, C]
+    return (Bx * kernel.p[:, 0][None, :]) @ Bx.T
+
+
+def _gauss_hermite_grid(means, variances, weights, num_points: int, dtype):
+    q, w = np.polynomial.hermite_e.hermegauss(num_points)
+    w = w / np.sqrt(2.0 * np.pi)
+    q = jnp.asarray(q, dtype)
+    w = jnp.asarray(w, dtype)
+    s = means[:, None] + jnp.sqrt(variances)[:, None] * q[None, :]  # [K, Q]
+    wgt = weights[:, None] * w[None, :]
+    return s.reshape(-1), wgt.reshape(-1)
+
+
+def compute_L_quadrature(kernel: OrthogonalRBF, x: jnp.ndarray,
+                         num_points: int = 64) -> jnp.ndarray:
+    """General-measure L via quadrature: L = G diag(w) G^T, G = K(x, grid).
+
+    Supports MOG (beyond the reference) and Gaussian/Uniform as a
+    cross-check of the closed forms.
+    """
+    m = kernel.measure
+    dtype = x.dtype
+    if isinstance(m, MOGMeasure):
+        s, w = _gauss_hermite_grid(m.means, m.variances, m.weights, num_points, dtype)
+    elif isinstance(m, GaussianMeasure):
+        s, w = _gauss_hermite_grid(m.mu[None], m.var[None],
+                                   jnp.ones((1,), dtype), num_points, dtype)
+    elif isinstance(m, UniformMeasure):
+        q, w_ = np.polynomial.legendre.leggauss(num_points)
+        s = 0.5 * (m.b - m.a) * jnp.asarray(q, dtype) + 0.5 * (m.a + m.b)
+        w = jnp.asarray(w_, dtype) * 0.5  # weights of the normalized measure
+    else:
+        raise NotImplementedError(type(m))
+    G = ortho_rbf.K(kernel, x, s)  # [N, S]
+    return (G * w[None, :]) @ G.T
+
+
+def compute_L_for_kernel(kernel, x: jnp.ndarray, delta=None, mu=None) -> jnp.ndarray:
+    """Dispatch the right L construction for one constituent kernel; ``x`` is
+    the sliced column of training inputs / inducing points.
+
+    For Gaussian measures a numerically-robust hybrid is used: the closed form
+    f1-f2-f3+f4 suffers catastrophic cancellation once the lengthscale exceeds
+    the measure scale (the four terms are each ~sigma^4 and nearly cancel —
+    with the unbounded hyperparameters a flat fit can reach, the reference's
+    numpy implementation returns garbage there), while Gauss-Hermite
+    quadrature of the *constrained* kernel is exact in precisely that regime
+    and only loses accuracy when the lengthscale is far below the node
+    spacing. Select per-dim at l = 0.5 * measure scale; both branches are
+    accurate at the crossover (verified in tests/test_sobol.py).
+
+    ``delta``/``mu`` override the Gaussian Sobol measure (reference API compat);
+    by default the kernel's own measure is used — they coincide everywhere in
+    the reference (delta=1, mu=0 vs GaussianMeasure(0, 1)).
+    """
+    if isinstance(kernel, OrthogonalBinary):
+        return compute_L_binary(kernel, x)
+    if isinstance(kernel, OrthogonalCategorical):
+        return compute_L_categorical(kernel, x)
+    if isinstance(kernel, OrthogonalRBF):
+        m = kernel.measure
+        if isinstance(m, EmpiricalMeasure):
+            return compute_L_empirical(kernel, x)
+        if isinstance(m, GaussianMeasure):
+            d = jnp.sqrt(m.var) if delta is None else jnp.asarray(delta, x.dtype)
+            mean = m.mu if mu is None else jnp.asarray(mu, x.dtype)
+            l = kernel.lengthscale.value
+            Lc = compute_L_gaussian(x, l, kernel.variance.value, d, mean)
+            Lq = compute_L_quadrature(kernel, x)
+            return jnp.where(l > 0.5 * d, Lq, Lc)
+        if isinstance(m, (MOGMeasure, UniformMeasure)):
+            return compute_L_quadrature(kernel, x)
+    raise NotImplementedError(type(kernel))
+
+
+# --------------------------------------------------------------------------- #
+# Factorized second-moment forms: L_d = F diag(w) F^T
+# --------------------------------------------------------------------------- #
+def factor_form(kernel, x: jnp.ndarray, num_points: int = 64):
+    """(F [N, Q], w [Q]) with L = F diag(w) F^T, or None when no
+    well-conditioned factorization exists (Gaussian measure with lengthscale
+    far below the quadrature node spacing).
+
+    The factor form turns the Sobol quadratic form alpha^T L alpha into
+    sum_q w_q (F^T alpha)_q^2 — a sum of non-negative terms. The Hadamard
+    route sums O(N^2) signed products that cancel to machine precision when
+    alpha is large (near-noiseless fits); the factor route is exact there.
+    """
+    dtype = x.dtype
+    if isinstance(kernel, OrthogonalBinary):
+        B = ortho_binary.output_covariance(kernel)
+        p = jnp.stack([kernel.p0, 1.0 - kernel.p0])
+        return B[x.astype(jnp.int32)], p
+    if isinstance(kernel, OrthogonalCategorical):
+        B = ortho_categorical.output_covariance(kernel)
+        return B[x.astype(jnp.int32)], kernel.p[:, 0]
+    if isinstance(kernel, OrthogonalRBF):
+        m = kernel.measure
+        if isinstance(m, EmpiricalMeasure):
+            return ortho_rbf.K(kernel, x, m.location[:, 0]), m.weights[:, 0]
+        if isinstance(m, GaussianMeasure):
+            s, w = _gauss_hermite_grid(m.mu[None], m.var[None],
+                                       jnp.ones((1,), dtype), num_points, dtype)
+        elif isinstance(m, MOGMeasure):
+            s, w = _gauss_hermite_grid(m.means, m.variances, m.weights,
+                                       num_points, dtype)
+        elif isinstance(m, UniformMeasure):
+            q, w_ = np.polynomial.legendre.leggauss(num_points)
+            s = 0.5 * (m.b - m.a) * jnp.asarray(q, dtype) + 0.5 * (m.a + m.b)
+            w = jnp.asarray(w_, dtype) * 0.5
+        else:
+            return None
+        return ortho_rbf.K(kernel, x, s), w
+    return None
+
+
+# --------------------------------------------------------------------------- #
+# Sobol indices over all components
+# --------------------------------------------------------------------------- #
+def _dim_L_stack(oak: OAKKernel, X: jnp.ndarray, delta=None, mu=None) -> jnp.ndarray:
+    """[D + 1, N, N]: per-dim L matrices plus a trailing all-ones identity
+    slice used as Hadamard padding for variable-order components."""
+    mats = []
+    for k in oak.kernels:
+        mats.append(compute_L_for_kernel(k, X[:, k.active_dim], delta, mu))
+    mats.append(jnp.ones_like(mats[0]))
+    return jnp.stack(mats, axis=0)
+
+
+def _order_scales(oak: OAKKernel, orders: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Per-component variance scale: variances[order]^2 in shared mode, else 1
+    (base variances already inside each L)."""
+    if not oak.share_var_across_orders:
+        return jnp.ones(orders.shape, dtype)
+    vs = jnp.stack([v.value.reshape(()) for v in oak.variances]).astype(dtype)
+    return (vs ** 2)[orders]
+
+
+def _usable_factor(kernel) -> bool:
+    """Factor path is accurate unless a Gaussian-measure RBF lengthscale is
+    far below the quadrature node spacing (concrete host-side decision)."""
+    if isinstance(kernel, OrthogonalRBF) and isinstance(kernel.measure, GaussianMeasure):
+        return float(kernel.lengthscale.value) > 0.5 * float(jnp.sqrt(kernel.measure.var))
+    return True
+
+
+def _model_X(model):
+    X = model.inducing_points
+    return model.data[0] if X is None else X
+
+
+def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...]) -> jnp.ndarray:
+    """All component Sobol values (reference component order, constant
+    skipped), as one fused computation. Orders 1-2 use the factorized
+    cancellation-free quadratic form when every dim factorizes; higher orders
+    and non-factorizable dims use the Hadamard route on the L stack."""
+    oak: OAKKernel = model.kernel
+    X = jnp.asarray(_model_X(model))
+    a = model.posterior_alpha()[:, 0]
+    tuples = component_index_tuples(oak.num_dims, depth)[1:]
+    D = oak.num_dims
+    all_factor = all(routing)
+
+    parts = {}
+    hadamard_idx: List[int] = []
+    if all_factor:
+        factors = [factor_form(k, X[:, k.active_dim]) for k in oak.kernels]
+        Qmax = max(f[0].shape[1] for f in factors)
+
+        def pad(F, w):
+            q = F.shape[1]
+            if q == Qmax:
+                return F, w
+            return (jnp.pad(F, ((0, 0), (0, Qmax - q))), jnp.pad(w, (0, Qmax - q)))
+
+        padded = [pad(F, w) for F, w in factors]
+        Fs = jnp.stack([p[0] for p in padded])  # [D, N, Qmax]
+        Ws = jnp.stack([p[1] for p in padded])  # [D, Qmax]
+
+        V = jnp.einsum("dnq,n->dq", Fs, a)
+        R1 = jnp.sum(Ws * V * V, axis=1)  # [D]
+        parts["R1"] = R1
+
+        pair_list = [t for t in tuples if len(t) == 2]
+        if pair_list:
+            pidx = jnp.asarray(pair_list, jnp.int32)
+            # T_pair = F_i^T diag(a) F_j for all pairs at once via the
+            # precomputed diag(a)-weighted factors
+            Fa = Fs * a[None, :, None]  # [D, N, Q]
+
+            def pair_val(pq):
+                T = jnp.einsum("nq,np->qp", Fa[pq[0]], Fs[pq[1]])
+                return Ws[pq[0]] @ (T * T) @ Ws[pq[1]]
+
+            parts["R2"] = jax.lax.map(pair_val, pidx)
+        hadamard_idx = [i for i, t in enumerate(tuples) if len(t) > 2]
+    else:
+        hadamard_idx = list(range(len(tuples)))
+
+    if hadamard_idx:
+        Lstack = _dim_L_stack(oak, X)
+        P = max(len(tuples[i]) for i in hadamard_idx)
+        idx = np.full((len(hadamard_idx), P), D, dtype=np.int32)
+        for row, i in enumerate(hadamard_idx):
+            idx[row, : len(tuples[i])] = tuples[i]
+
+        def one(c_idx):
+            L = Lstack[c_idx[0]]
+            for j in range(1, P):
+                L = L * Lstack[c_idx[j]]
+            return a @ L @ a
+
+        parts["RH"] = jax.lax.map(one, jnp.asarray(idx))
+
+    # assemble in component order
+    values = []
+    i2 = 0
+    ih = 0
+    for i, t in enumerate(tuples):
+        if all_factor and len(t) == 1:
+            values.append(parts["R1"][t[0]])
+        elif all_factor and len(t) == 2:
+            values.append(parts["R2"][i2])
+            i2 += 1
+        else:
+            values.append(parts["RH"][ih])
+            ih += 1
+    values = jnp.stack(values)
+
+    orders = jnp.asarray([len(t) for t in tuples], jnp.int32)
+    scales = _order_scales(oak, orders, values.dtype)
+    return values * scales
+
+
+_sobol_values_jit = jax.jit(_sobol_values_impl, static_argnums=(1, 2))
+
+
+def compute_sobol_oak(model, delta=None, mu=None,
+                      max_interaction_depth: Optional[int] = None
+                      ) -> Tuple[List[List[int]], np.ndarray]:
+    """Sobol index of every additive component (skipping the constant), in the
+    reference's component order (utils.py:338-435). Returns (tuples, values).
+    One jitted computation; cached per (model structure, depth, routing)."""
+    oak: OAKKernel = model.kernel
+    depth = max_interaction_depth or oak.max_interaction_depth
+    tuples = component_index_tuples(oak.num_dims, depth)[1:]
+    routing = tuple(_usable_factor(k) for k in oak.kernels)
+    values = _sobol_values_jit(model, depth, routing)
+    return tuples, np.asarray(values)
+
+
+def _sobol_by_order_impl(model, depth: int) -> jnp.ndarray:
+    oak: OAKKernel = model.kernel
+    X = jnp.asarray(_model_X(model))
+    a = model.posterior_alpha()[:, 0]
+    mats = [compute_L_for_kernel(k, X[:, k.active_dim]) for k in oak.kernels]
+    e = newton_girard(mats, depth)[1:]  # orders 1..P
+    orders = jnp.arange(1, depth + 1)
+    scales = _order_scales(oak, orders, mats[0].dtype)
+    return jnp.stack([a @ En @ a for En in e]) * scales
+
+
+_sobol_by_order_jit = jax.jit(_sobol_by_order_impl, static_argnums=(1,))
+
+
+def compute_sobol_by_order(model, delta=None, mu=None,
+                           max_depth: Optional[int] = None) -> np.ndarray:
+    """Total (unnormalized) Sobol mass per interaction order 1..P in O(D·P)
+    via Newton-Girard over the L matrices — no tuple enumeration. TPU-side
+    replacement for the reference's post-hoc aggregation loops
+    (uci_regression_train.py:157-160). NOTE: shares the Hadamard quadratic
+    form's conditioning; prefer compute_sobol_oak sums for pathological
+    (near-noiseless, unbounded) fits."""
+    depth = max_depth or model.kernel.max_interaction_depth
+    return np.asarray(_sobol_by_order_jit(model, depth))
+
+
+def _prediction_component_impl(model, X, depth: int) -> jnp.ndarray:
+    from .kernels.oak_kernel import kernel_K
+
+    oak: OAKKernel = model.kernel
+    Xc = jnp.asarray(_model_X(model))
+    a = model.posterior_alpha()[:, 0]
+    tuples = component_index_tuples(oak.num_dims, depth)[1:]
+
+    grams = [kernel_K(k, X[:, k.active_dim], Xc[:, k.active_dim])
+             for k in oak.kernels]
+    grams.append(jnp.ones_like(grams[0]))
+    G = jnp.stack(grams, axis=0)  # [D+1, N, M]
+
+    D = oak.num_dims
+    P = max(len(t) for t in tuples)
+    idx = np.full((len(tuples), P), D, dtype=np.int32)
+    for i, t in enumerate(tuples):
+        idx[i, : len(t)] = t
+    orders = jnp.asarray([len(t) for t in tuples], jnp.int32)
+    if oak.share_var_across_orders:
+        vs = jnp.stack([v.value.reshape(()) for v in oak.variances]).astype(G.dtype)
+        scales = vs[orders]
+    else:
+        scales = jnp.ones(orders.shape, G.dtype)
+
+    def one(c_idx, scale):
+        Kc = G[c_idx[0]]
+        for j in range(1, P):
+            Kc = Kc * G[c_idx[j]]
+        return scale * (Kc @ a)
+
+    return jax.lax.map(lambda args: one(*args), (jnp.asarray(idx), scales))
+
+
+_prediction_component_jit = jax.jit(_prediction_component_impl,
+                                    static_argnums=(2,))
+
+
+def get_prediction_component(model, alpha=None, X=None,
+                             max_interaction_depth: Optional[int] = None) -> np.ndarray:
+    """Per-component predictive means, [C, N] in the reference's component
+    order (utils.py:491-530). Sums (plus the constant term) to the full
+    predictive mean. ``alpha`` is accepted for reference API compat but is
+    recomputed from the model posterior."""
+    oak: OAKKernel = model.kernel
+    if X is None:
+        X = model.data[0]
+    depth = max_interaction_depth or oak.max_interaction_depth
+    return np.asarray(_prediction_component_jit(model, jnp.asarray(X), depth))
+
+
+def normalize_sobol(sobol: np.ndarray, likelihood_variance: Optional[float] = None
+                    ) -> np.ndarray:
+    """model_utils.py:516-522."""
+    denom = np.sum(sobol) + (likelihood_variance or 0.0)
+    return np.asarray(sobol) / denom

@@ -1,0 +1,155 @@
+"""oak_model API-parity tests (reference tests/test_oak_model.py patterns):
+smoke fit/predict/loglik grids, constructor validation matrices, flows skipped
+on discrete/GMM dims, save/load roundtrip, first-class classification."""
+
+import numpy as np
+import pytest
+
+from oak_tpu import oak_model
+
+
+def _regression_data(rng, n=64, d=3):
+    X = rng.normal(size=(n, d))
+    y = np.sin(X[:, 0]) + 0.5 * X[:, 1] + 0.1 * rng.normal(size=n)
+    return X, y.reshape(-1, 1)
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_fit_predict_beats_mean(rng, sparse):
+    X, y = _regression_data(rng)
+    oak = oak_model(max_interaction_depth=2, num_inducing=16, sparse=sparse)
+    oak.fit(X, y, optimise=True)
+    pred = oak.predict(X)
+    rmse = np.sqrt(np.mean((pred - y[:, 0]) ** 2))
+    rmse_mean = np.sqrt(np.mean((y[:, 0].mean() - y[:, 0]) ** 2))
+    assert rmse < rmse_mean
+    ll = oak.get_loglik(X, y)
+    assert np.isfinite(ll)
+
+
+def test_predict_out_of_range_raises_and_clip_works(rng):
+    X, y = _regression_data(rng, n=40)
+    oak = oak_model(max_interaction_depth=1)
+    oak.fit(X, y, optimise=False)
+    X_out = X.copy()
+    X_out[0, 0] = X[:, 0].min() - 100.0  # far outside the flow's log-offset domain
+    with pytest.raises(ValueError):
+        oak.predict(X_out)
+    pred = oak.predict(X_out, clip=True)
+    assert np.isfinite(pred).all()
+
+
+def test_empirical_measure_on_discrete_raises(rng):
+    X, y = _regression_data(rng)
+    X[:, 1] = (X[:, 1] > 0).astype(float)
+    oak = oak_model(binary_feature=[1], empirical_measure=[1])
+    with pytest.raises(ValueError):
+        oak.fit(X, y, optimise=False)
+
+
+def test_gmm_measure_on_discrete_raises(rng):
+    X, y = _regression_data(rng)
+    X[:, 2] = (X[:, 2] > 0).astype(float)
+    oak = oak_model(binary_feature=[2], gmm_measure=[0, 0, 2])
+    with pytest.raises(ValueError):
+        oak.fit(X, y, optimise=False)
+
+
+def test_gmm_measure_wrong_length_raises(rng):
+    X, y = _regression_data(rng)
+    oak = oak_model(gmm_measure=[2, 2])
+    with pytest.raises(ValueError):
+        oak.fit(X, y, optimise=False)
+
+
+def test_overlapping_binary_categorical_raises(rng):
+    X, y = _regression_data(rng)
+    oak = oak_model(binary_feature=[0], categorical_feature=[0])
+    with pytest.raises(ValueError):
+        oak.fit(X, y, optimise=False)
+
+
+def test_flows_skipped_on_discrete_and_gmm(rng):
+    n = 60
+    X = np.column_stack([
+        rng.normal(size=n),
+        rng.integers(0, 2, n).astype(float),
+        rng.normal(size=n),
+    ])
+    y = rng.normal(size=(n, 1))
+    oak = oak_model(binary_feature=[1], gmm_measure=[0, 0, 2])
+    oak.fit(X, y, optimise=False)
+    assert oak.input_flows[0] is not None
+    assert oak.input_flows[1] is None
+    assert oak.input_flows[2] is None  # GMM dim untouched
+    np.testing.assert_array_equal(oak.X_scaled[:, 1], X[:, 1])
+    np.testing.assert_array_equal(oak.X_scaled[:, 2], X[:, 2])
+
+
+def test_mixed_types_fit_and_sobol(rng):
+    n = 80
+    X = np.column_stack([
+        rng.normal(size=n),
+        rng.integers(0, 2, n).astype(float),
+        rng.integers(0, 3, n).astype(float),
+    ])
+    y = (X[:, 0] + X[:, 1] - 0.5 * X[:, 2] + 0.1 * rng.normal(size=n)).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2, binary_feature=[1],
+                    categorical_feature=[2])
+    oak.fit(X, y, optimise=True)
+    sob = oak.get_sobol()
+    assert len(sob) == len(oak.tuple_of_indices)
+    np.testing.assert_allclose(sob.sum(), 1.0, rtol=1e-6)
+    by_order = oak.get_sobol_by_order()
+    assert by_order.shape == (2,)
+
+
+def test_empirical_measure_fit(rng):
+    X, y = _regression_data(rng, n=50)
+    oak = oak_model(max_interaction_depth=1, empirical_measure=[0])
+    oak.fit(X, y, optimise=False)
+    assert oak.empirical_locations[0] is not None
+    assert oak.input_flows[0] is None
+    sob = oak.get_sobol()
+    assert np.isfinite(sob).all()
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    X, y = _regression_data(rng, n=40)
+    oak = oak_model(max_interaction_depth=2)
+    oak.fit(X, y, optimise=True)
+    pred0 = oak.predict(X)
+    sob0 = oak.get_sobol()
+
+    path = tmp_path / "model.npz"
+    oak.save(path)
+    oak2 = oak_model.load(path)
+    pred1 = oak2.predict(X)
+    sob1 = oak2.get_sobol()
+    np.testing.assert_allclose(pred0, pred1, rtol=1e-10)
+    np.testing.assert_allclose(sob0, sob1, rtol=1e-10)
+
+
+def test_classification_first_class(rng):
+    n = 100
+    X = rng.normal(size=(n, 2))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2, num_inducing=24,
+                    likelihood="bernoulli")
+    oak.fit(X, y, optimise=True)
+    prob = oak.predict_proba(X, clip=True)
+    acc = np.mean((prob > 0.5).astype(float) == y[:, 0])
+    assert acc > 0.8
+    nll = -oak.get_loglik(X, y)
+    assert np.isfinite(nll)
+    sob = oak.get_sobol()
+    assert np.isfinite(sob).all()
+
+
+def test_plot_smoke(tmp_path, rng):
+    X, y = _regression_data(rng, n=50)
+    oak = oak_model(max_interaction_depth=2)
+    oak.fit(X, y, optimise=True)
+    figs = oak.plot(top_n=3, save_fig=str(tmp_path / "figs"))
+    assert len(figs) == 3
+    assert any(p.suffix == ".pdf" for p in (tmp_path / "figs").iterdir())

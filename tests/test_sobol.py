@@ -1,0 +1,180 @@
+"""Sobol-index correctness: closed forms vs Monte Carlo and quadrature,
+discrete-kernel L identities, known-answer indices for an analytic function,
+per-order totals vs enumeration, and component predictions summing to the
+full predictive mean (reference test_sobol.py / test_sobol_oak_kernel.py /
+test_utils.py patterns)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oak_tpu.kernels import OAKKernel, OrthogonalBinary, OrthogonalCategorical, OrthogonalRBF
+from oak_tpu.kernels import ortho_binary, ortho_categorical, ortho_rbf
+from oak_tpu.measures import EmpiricalMeasure, GaussianMeasure, MOGMeasure, UniformMeasure
+from oak_tpu.models import GPR, SGPR
+from oak_tpu.optim import fit_lbfgs
+from oak_tpu import sobol as sb
+
+
+def test_L_gaussian_matches_monte_carlo(rng):
+    delta, mu = 1.0, 0.0
+    k = OrthogonalRBF.create(GaussianMeasure.create(mu, delta ** 2),
+                             lengthscale=0.8, variance=1.3)
+    x = jnp.asarray(np.linspace(-1.5, 1.5, 6))
+    L = np.asarray(sb.compute_L_gaussian(x, k.lengthscale.value, k.variance.value,
+                                         delta, mu))
+    s = rng.normal(mu, delta, 400_000)
+    Kxs = np.asarray(ortho_rbf.K(k, x, jnp.asarray(s)))
+    L_mc = (Kxs @ Kxs.T) / len(s)
+    np.testing.assert_allclose(L, L_mc, atol=5e-3)
+
+
+@pytest.mark.parametrize("measure", [
+    GaussianMeasure.create(0.3, 1.5),
+    UniformMeasure.create(-1.0, 2.0),
+    MOGMeasure.create(np.array([-1.0, 1.0]), np.array([0.4, 0.9]),
+                      np.array([0.4, 0.6])),
+])
+def test_L_quadrature_matches_monte_carlo(measure, rng):
+    from tests.test_orthogonality import _sample
+
+    k = OrthogonalRBF.create(measure, lengthscale=0.9, variance=1.1)
+    x = jnp.asarray(np.linspace(-1.0, 1.0, 5))
+    L = np.asarray(sb.compute_L_quadrature(k, x))
+    s = _sample(measure, rng, 400_000)
+    Kxs = np.asarray(ortho_rbf.K(k, x, jnp.asarray(s)))
+    L_mc = (Kxs @ Kxs.T) / len(s)
+    np.testing.assert_allclose(L, L_mc, atol=5e-3)
+
+
+def test_L_quadrature_matches_closed_form_gaussian():
+    k = OrthogonalRBF.create(GaussianMeasure.create(0.0, 1.0),
+                             lengthscale=1.2, variance=0.7)
+    x = jnp.asarray(np.linspace(-2, 2, 8))
+    L_q = np.asarray(sb.compute_L_quadrature(k, x, num_points=64))
+    L_c = np.asarray(sb.compute_L_gaussian(x, k.lengthscale.value,
+                                           k.variance.value, 1.0, 0.0))
+    np.testing.assert_allclose(L_q, L_c, rtol=1e-8, atol=1e-10)
+
+
+def test_L_binary_exact_identity():
+    """L_ij = sum_c p_c B[x_i, c] B[x_j, c] — exact (reference
+    tests/test_sobol.py:187-208 checks this to 1e-16)."""
+    k = OrthogonalBinary.create(p0=0.35, variance=1.8)
+    x = jnp.asarray(np.array([0.0, 1.0, 1.0, 0.0, 1.0]))
+    L = np.asarray(sb.compute_L_binary(k, x))
+    B = np.asarray(ortho_binary.output_covariance(k))
+    p = np.array([0.35, 0.65])
+    xi = np.asarray(x, int)
+    expect = np.einsum("c,ic,jc->ij", p, B[xi], B[xi])
+    np.testing.assert_allclose(L, expect, atol=1e-14)
+
+
+def test_L_categorical_exact_identity():
+    p = np.array([0.2, 0.5, 0.3]).reshape(-1, 1)
+    k = OrthogonalCategorical.create(p=p, rank=2)
+    x = jnp.asarray(np.array([0.0, 2.0, 1.0, 1.0]))
+    L = np.asarray(sb.compute_L_categorical(k, x))
+    B = np.asarray(ortho_categorical.output_covariance(k))
+    xi = np.asarray(x, int)
+    expect = np.einsum("c,ic,jc->ij", p[:, 0], B[xi], B[xi])
+    np.testing.assert_allclose(L, expect, atol=1e-12)
+
+
+def test_L_empirical_matches_direct():
+    loc = np.linspace(-2, 2, 9).reshape(-1, 1)
+    w = np.ones((9, 1)) / 9
+    k = OrthogonalRBF.create(EmpiricalMeasure.create(loc, w), lengthscale=0.7)
+    x = jnp.asarray(np.linspace(-1, 1, 5))
+    L = np.asarray(sb.compute_L_empirical(k, x))
+    Kxu = np.asarray(ortho_rbf.K(k, jnp.asarray(loc[:, 0]), x))
+    expect = Kxu.T @ (w * Kxu)
+    np.testing.assert_allclose(L, expect, atol=1e-13)
+
+
+def _fit_known_model(rng, n=256, sparse=False):
+    """y = x0^2 + 2 x1 + x0 x1, x ~ N(0, I): true Sobol [2, 4, 1].
+
+    The exact-GP case runs *without* priors or bounds — a stress test of the
+    hybrid L construction under the flat large-lengthscale/large-variance
+    direction. The sparse case uses the reference's regularisation defaults
+    (Gamma sparsity prior + lengthscale bounds, create_model_oak
+    model_utils.py:161-165,199) without which the collapsed bound diverges.
+    """
+    X = rng.normal(size=(n, 2))
+    y = (X[:, 0] ** 2 + 2 * X[:, 1] + X[:, 0] * X[:, 1]).reshape(-1, 1)
+    if sparse:
+        k = OAKKernel.create(num_dims=2, max_interaction_depth=2,
+                             use_sparsity_prior=True,
+                             lengthscale_bounds=[1e-3, 1e3])
+        Z = X[rng.choice(n, 64, replace=False)]
+        m = SGPR.create(X, y, k, Z, noise_variance=0.01)
+    else:
+        k = OAKKernel.create(num_dims=2, max_interaction_depth=2)
+        m = GPR.create(X, y, k, noise_variance=0.01)
+    res = fit_lbfgs(m, lambda mm: mm.training_loss(), max_iters=150)
+    return res.model
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_known_answer_sobol(rng, sparse):
+    m = _fit_known_model(rng, sparse=sparse)
+    tuples, vals = sb.compute_sobol_oak(m)
+    assert tuples == [[0], [1], [0, 1]]
+    normalized = vals / vals.sum()
+    np.testing.assert_allclose(normalized, np.array([2, 4, 1]) / 7.0, atol=0.06)
+
+
+def test_sobol_by_order_matches_enumeration(rng):
+    # regularized model: the Newton-Girard by-order route shares the Hadamard
+    # quadratic form's conditioning, so compare on a well-conditioned fit
+    m = _fit_known_model(rng, n=128, sparse=True)
+    tuples, vals = sb.compute_sobol_oak(m)
+    by_order = sb.compute_sobol_by_order(m)
+    expect = np.zeros(2)
+    for t, v in zip(tuples, vals):
+        expect[len(t) - 1] += v
+    np.testing.assert_allclose(by_order, expect, rtol=1e-6)
+
+
+def test_prediction_components_sum_to_mean(rng):
+    m = _fit_known_model(rng, n=96)
+    Xs = rng.normal(size=(20, 2))
+    comps = sb.get_prediction_component(m, X=Xs)
+    alpha, _ = m.posterior_stats()
+    constant = float(np.asarray(alpha).sum() * np.asarray(m.kernel.variances[0].value))
+    total = comps.sum(axis=0) + constant
+    mu, _ = m.predict_f(Xs)
+    np.testing.assert_allclose(total, np.asarray(mu)[:, 0], rtol=1e-6, atol=1e-8)
+
+
+def test_empirical_sobol_equals_weighted_component_variance(rng):
+    """Under an empirical measure, R_c = sum_i w_i f_c(loc_i)^2 exactly
+    (reference test_sobol_oak_kernel.py:129-201 pattern)."""
+    n = 40
+    X = rng.normal(size=(n, 1))
+    y = np.sin(X)
+    loc, w = np.unique(X[:, 0], return_counts=True)
+    loc = loc.reshape(-1, 1)
+    w = (w / w.sum()).reshape(-1, 1)
+    k = OAKKernel.create(num_dims=1, max_interaction_depth=1,
+                         empirical_locations=[loc], empirical_weights=[w])
+    m = GPR.create(X, y, k, noise_variance=0.01)
+    tuples, vals = sb.compute_sobol_oak(m)
+    comps = sb.get_prediction_component(m, X=loc.reshape(-1, 1))
+    expect = float((w[:, 0] * comps[0] ** 2).sum())
+    np.testing.assert_allclose(vals[0], expect, rtol=1e-8)
+
+
+def test_mog_sobol_supported(rng):
+    """The reference raises NotImplementedError for MOG measures
+    (utils.py:413-414); we support them via quadrature."""
+    n = 60
+    X = rng.normal(size=(n, 1))
+    y = np.sin(X)
+    mog = MOGMeasure.create(np.array([-0.5, 0.5]), np.array([0.8, 1.2]),
+                            np.array([0.5, 0.5]))
+    k = OAKKernel.create(num_dims=1, max_interaction_depth=1, gmm_measures=[mog])
+    m = GPR.create(X, y, k, noise_variance=0.01)
+    tuples, vals = sb.compute_sobol_oak(m)
+    assert np.isfinite(vals).all() and vals[0] > 0

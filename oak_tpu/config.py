@@ -31,3 +31,24 @@ def default_float() -> jnp.dtype:
 def default_jitter(dtype=None) -> float:
     dtype = dtype or default_float()
     return DEFAULT_JITTER_F64 if jnp.dtype(dtype) == jnp.float64 else DEFAULT_JITTER_F32
+
+
+# --------------------------------------------------------------------------- #
+# Pallas fused-gram policy: "auto" uses the fused kernel on TPU backends for
+# f32 inputs whenever the kernel structure supports it; True/False force.
+# --------------------------------------------------------------------------- #
+_PALLAS_GRAM = "auto"
+
+
+def set_pallas_gram(mode) -> None:
+    """mode: True / False / 'auto'."""
+    global _PALLAS_GRAM
+    if mode not in (True, False, "auto"):
+        raise ValueError("mode must be True, False or 'auto'")
+    _PALLAS_GRAM = mode
+
+
+def pallas_gram_enabled() -> bool:
+    if _PALLAS_GRAM == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(_PALLAS_GRAM)

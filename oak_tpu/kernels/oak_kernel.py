@@ -237,6 +237,12 @@ class OAKKernel:
         return out
 
     def K(self, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from ..config import pallas_gram_enabled
+        from ..ops import oak_gram_pallas as ogp
+
+        if (pallas_gram_enabled() and jnp.asarray(X).dtype == jnp.float32
+                and ogp.supports_pallas(self)):
+            return ogp.oak_gram(self, X, X2)
         e = newton_girard(self.dim_grams(X, X2), self.max_interaction_depth)
         return self._combine(e)
 

@@ -1,0 +1,222 @@
+"""Fused Pallas TPU kernel for the OAK gram matrix (continuous dims).
+
+The OAK hot loop (SURVEY §3.2) evaluates, for inputs X [N, D], X2 [M, D]:
+
+    K = sum_n sigma^2_n e_n(g_1, ..., g_D)
+    g_d = b_d exp(-(x_d - x'_d)^2 / (2 l_d^2)) - cov_d(x) cov_d(x') / var_s_d
+
+The XLA version materializes D per-dim [N, M] grams plus P power sums in HBM.
+This kernel fuses everything: per (TN, TM) output tile it reads only the
+[D, TN] / [D, TM] slivers of the (prescaled) inputs, accumulates the P power
+sums in VMEM, runs the Newton-Girard recursion in-register, and writes the
+single output tile — HBM traffic is O(N*D + M*D + N*M) instead of
+O(P*N*M + D*N*M).
+
+Inputs are *prescaled* so the kernel body has no per-dim divisions:
+    u = x / l                 (so the exponent is -0.5 (u - u')^2)
+    c~ = cov(x) / sqrt(var_s) (so the downdate is c~ c~')
+
+Differentiation: gradients flow through a custom VJP whose backward pass is
+the jax.vjp of the straight-XLA reference implementation (recompute) — the
+Pallas kernel accelerates every forward evaluation (inference, predictions,
+Sobol, and the forward half of training).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..measures import GaussianMeasure
+from ..ops.newton_girard import newton_girard
+
+TILE_N = 256
+TILE_M = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# --------------------------------------------------------------------------- #
+# Kernel body
+# --------------------------------------------------------------------------- #
+def _gram_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, out_ref,
+                 *, depth: int, num_dims: int):
+    P = depth
+    s = [None] * P
+    for d in range(num_dims):
+        du = u1_ref[d, :][:, None] - u2_ref[d, :][None, :]
+        g = bvar_ref[0, d] * jnp.exp(-0.5 * du * du) \
+            - c1_ref[d, :][:, None] * c2_ref[d, :][None, :]
+        gp = g
+        for p in range(P):
+            s[p] = gp if s[p] is None else s[p] + gp
+            if p + 1 < P:
+                gp = gp * g
+
+    ones = jnp.ones_like(out_ref[:])
+    acc = sig_ref[0, 0] * ones
+    e = [ones]
+    for n in range(1, P + 1):
+        term = None
+        for k in range(1, n + 1):
+            t = e[n - k] * s[k - 1] if n - k > 0 else s[k - 1]
+            t = t if k % 2 == 1 else -t
+            term = t if term is None else term + t
+        en = term / n
+        e.append(en)
+        acc = acc + sig_ref[0, n] * en
+    out_ref[:] = acc
+
+
+def _pallas_gram(u1, u2, c1, c2, bvar, sig2, depth: int) -> jnp.ndarray:
+    """u1/c1: [D, Np]; u2/c2: [D, Mp]; bvar: [1, D]; sig2: [1, P+1].
+    Np, Mp must be multiples of the tile sizes. Returns [Np, Mp] f32."""
+    D, Np = u1.shape
+    Mp = u2.shape[1]
+    grid = (Np // TILE_N, Mp // TILE_M)
+    kernel = functools.partial(_gram_kernel, depth=depth, num_dims=D)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Np, Mp), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, depth + 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, D), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((D, TILE_N), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, TILE_M), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, TILE_N), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, TILE_M), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_N, TILE_M), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(grid[0]) * int(grid[1]) * TILE_N * TILE_M * (6 * D + 3 * depth * depth),
+            bytes_accessed=4 * (Np * D * 2 + Mp * D * 2 + Np * Mp),
+            transcendentals=Np * Mp * D,
+        ),
+    )(sig2, bvar, u1, u2, c1, c2)
+
+
+# --------------------------------------------------------------------------- #
+# Prep + XLA reference + custom VJP wrapper
+# --------------------------------------------------------------------------- #
+def _prep(oak, X, X2):
+    """Prescaled kernel inputs from an all-continuous-Gaussian OAKKernel."""
+    dtype = jnp.float32
+    dims = [k.active_dim for k in oak.kernels]
+    ls = jnp.stack([k.lengthscale.value for k in oak.kernels]).astype(dtype)
+    bvar = jnp.stack([k.variance.value.reshape(()) for k in oak.kernels]).astype(dtype)
+    mu = jnp.stack([k.measure.mu for k in oak.kernels]).astype(dtype)
+    var = jnp.stack([k.measure.var for k in oak.kernels]).astype(dtype)
+
+    Xd = X[:, jnp.asarray(dims)].astype(dtype)  # [N, D]
+    X2d = X2[:, jnp.asarray(dims)].astype(dtype)
+
+    t = ls * ls + var
+    var_s = bvar * ls / jnp.sqrt(ls * ls + 2.0 * var)  # [D]
+
+    def cov(Z):
+        return (bvar * ls / jnp.sqrt(t))[None, :] * jnp.exp(
+            -0.5 * (Z - mu[None, :]) ** 2 / t[None, :]
+        )
+
+    u1 = (Xd / ls[None, :]).T  # [D, N]
+    u2 = (X2d / ls[None, :]).T
+    c1 = (cov(Xd) / jnp.sqrt(var_s)[None, :]).T
+    c2 = (cov(X2d) / jnp.sqrt(var_s)[None, :]).T
+
+    if oak.share_var_across_orders:
+        sig2 = jnp.stack([v.value.reshape(()) for v in oak.variances]).astype(dtype)
+    else:
+        sig2 = jnp.concatenate([
+            oak.variances[0].value.reshape(1).astype(dtype),
+            jnp.ones((oak.max_interaction_depth,), dtype),
+        ])
+    return u1, u2, c1, c2, bvar, sig2
+
+
+def _xla_gram_from_prep(u1, u2, c1, c2, bvar, sig2, depth: int) -> jnp.ndarray:
+    """Straight-XLA reference of the same computation (backward + fallback)."""
+    grams = []
+    for d in range(u1.shape[0]):
+        du = u1[d, :, None] - u2[d, None, :]
+        grams.append(bvar[0, d] * jnp.exp(-0.5 * du * du)
+                     - c1[d, :, None] * c2[d, None, :])
+    e = newton_girard(grams, depth)
+    out = sig2[0, 0] * e[0]
+    for n in range(1, depth + 1):
+        out = out + sig2[0, n] * e[n]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _gram_op(u1, u2, c1, c2, bvar, sig2, depth):
+    return _pallas_gram(u1, u2, c1, c2, bvar, sig2, depth)
+
+
+def _gram_fwd(u1, u2, c1, c2, bvar, sig2, depth):
+    return _pallas_gram(u1, u2, c1, c2, bvar, sig2, depth), (u1, u2, c1, c2, bvar, sig2)
+
+
+def _gram_bwd(depth, res, g):
+    u1, u2, c1, c2, bvar, sig2 = res
+    _, vjp = jax.vjp(lambda *a: _xla_gram_from_prep(*a, depth), u1, u2, c1, c2,
+                     bvar, sig2)
+    return vjp(g)
+
+
+_gram_op.defvjp(_gram_fwd, _gram_bwd)
+
+
+def supports_pallas(oak) -> bool:
+    """Structure check: every constituent kernel is an OrthogonalRBF against a
+    Gaussian measure (the post-flow continuous case, e.g. all UCI regression
+    configs)."""
+    from ..kernels.ortho_rbf import OrthogonalRBF
+
+    return len(oak.kernels) > 0 and all(
+        isinstance(k, OrthogonalRBF) and isinstance(k.measure, GaussianMeasure)
+        for k in oak.kernels
+    )
+
+
+def oak_gram(oak, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Fused OAK gram via Pallas, with shape padding to tile multiples.
+    Output dtype follows X."""
+    X2_ = X if X2 is None else X2
+    N, M = X.shape[0], X2_.shape[0]
+    u1, u2, c1, c2, bvar, sig2 = _prep(oak, X, X2_)
+
+    Np, Mp = _round_up(N, TILE_N), _round_up(M, TILE_M)
+    u1 = jnp.pad(u1, ((0, 0), (0, Np - N)))
+    c1 = jnp.pad(c1, ((0, 0), (0, Np - N)))
+    u2 = jnp.pad(u2, ((0, 0), (0, Mp - M)))
+    c2 = jnp.pad(c2, ((0, 0), (0, Mp - M)))
+
+    out = _gram_op(u1, u2, c1, c2, bvar[None, :], sig2[None, :],
+                   oak.max_interaction_depth)
+    return out[:N, :M].astype(X.dtype)
+
+
+def oak_gram_xla(oak, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """The same computation without Pallas (testing / CPU fallback)."""
+    X2_ = X if X2 is None else X2
+    u1, u2, c1, c2, bvar, sig2 = _prep(oak, X, X2_)
+    return _xla_gram_from_prep(u1, u2, c1, c2, bvar[None, :], sig2[None, :],
+                               oak.max_interaction_depth).astype(X.dtype)

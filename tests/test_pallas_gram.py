@@ -1,0 +1,66 @@
+"""Fused Pallas OAK-gram kernel vs the XLA reference and the per-dim kernel
+path — run in interpreter mode so it works on the CPU test backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from oak_tpu.kernels import OAKKernel
+from oak_tpu.ops import oak_gram_pallas as ogp
+
+
+def _setup(rng, D=5, N=300, M=130, depth=3):
+    X = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    X2 = jnp.asarray(rng.normal(size=(M, D)).astype(np.float32))
+    oak = OAKKernel.create(num_dims=D, max_interaction_depth=depth,
+                           dtype=jnp.float32)
+    return oak, X, X2
+
+
+def test_supports_detection(rng):
+    oak, _, _ = _setup(rng)
+    assert ogp.supports_pallas(oak)
+    oak_bin = OAKKernel.create(num_dims=2, max_interaction_depth=1,
+                               p0=[0.5, None], dtype=jnp.float32)
+    assert not ogp.supports_pallas(oak_bin)
+
+
+def test_xla_prep_path_matches_kernel_path(rng):
+    """The prescaled-inputs XLA reference must agree with the straightforward
+    per-dim kernel evaluation (f64-free, f32 tolerance)."""
+    oak, X, X2 = _setup(rng)
+    from oak_tpu.ops.newton_girard import newton_girard
+
+    K_ref = oak._combine(newton_girard(oak.dim_grams(X, X2),
+                                       oak.max_interaction_depth))
+    K_prep = ogp.oak_gram_xla(oak, X, X2)
+    np.testing.assert_allclose(np.asarray(K_prep), np.asarray(K_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_interpret_matches_xla(rng):
+    oak, X, X2 = _setup(rng)
+    with pltpu.force_tpu_interpret_mode():
+        Kp = ogp.oak_gram(oak, X, X2)
+    Kx = ogp.oak_gram_xla(oak, X, X2)
+    np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kx),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_pallas_gradients_match_xla(rng):
+    oak, X, X2 = _setup(rng, N=64, M=40)
+
+    def loss_p(o):
+        with pltpu.force_tpu_interpret_mode():
+            return ogp.oak_gram(o, X, X2).sum()
+
+    def loss_x(o):
+        return ogp.oak_gram_xla(o, X, X2).sum()
+
+    gp = jax.grad(loss_p)(oak)
+    gx = jax.grad(loss_x)(oak)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)

@@ -138,7 +138,10 @@ def test_sobol_by_order_matches_enumeration(rng):
 
 
 def test_prediction_components_sum_to_mean(rng):
-    m = _fit_known_model(rng, n=96)
+    # regularized model: with a near-noiseless unregularized fit |alpha| is
+    # ~1e6 and the decomposition identity only holds to ~1e-2 absolute
+    # because K(x*, X) alpha cancels at machine precision
+    m = _fit_known_model(rng, n=96, sparse=True)
     Xs = rng.normal(size=(20, 2))
     comps = sb.get_prediction_component(m, X=Xs)
     alpha, _ = m.posterior_stats()

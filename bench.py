@@ -33,11 +33,17 @@ def main():
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--quick", action="store_true", help="tiny shapes for smoke test")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (baseline measurement)")
     args = ap.parse_args()
     if args.quick:
         args.n, args.d, args.m, args.steps = 512, 8, 64, 10
 
     import jax
+
+    if args.cpu:
+        # the image's sitecustomize pins jax_platforms to "axon,cpu"
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 

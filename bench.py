@@ -98,10 +98,11 @@ def main():
     sobol_secs = time.perf_counter() - t1
 
     backend = jax.default_backend()
-    # CPU-JAX reference for the identical workload, measured on this image
-    # (see BASELINE.md): 0.544 ELBO steps/s, 11.0 s Sobol wall-clock.
-    BASELINE_STEPS_PER_SEC = 0.544
-    BASELINE_SOBOL_SECS = 11.0
+    # CPU-JAX reference for the identical workload, measured on this image's
+    # single CPU core with `python bench.py --cpu --steps 5` (see BASELINE.md):
+    # 0.003 ELBO steps/s, 0.703 s Sobol wall-clock.
+    BASELINE_STEPS_PER_SEC = 0.003
+    BASELINE_SOBOL_SECS = 0.703
 
     result = {
         "metric": "svgp_elbo_steps_per_sec",

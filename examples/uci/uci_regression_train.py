@@ -101,6 +101,7 @@ def main():
             out_dir / f"out_{fold}",
             rmse=rmse,
             nll=nll,
+            order=order,
             sobol=sobols,
             cumulative_sobol=cumulative_sobol,
             rmse_component=rmse_component,

@@ -291,3 +291,38 @@ def component_index_tuples(num_dims: int, max_interaction_depth: int) -> List[Li
     for order in range(1, max_interaction_depth + 1):
         out.extend([list(c) for c in itertools.combinations(range(num_dims), order)])
     return out
+
+
+class KernelComponent:
+    """One additive term of an OAKKernel, as a standalone kernel object —
+    the reference's ``KernelComponenent`` [sic] (oak_kernel.py:281-335).
+    Thin view over OAKKernel.component_K; the misspelled reference name is
+    kept as an alias for API compatibility."""
+
+    def __init__(self, oak_kernel: "OAKKernel", iComponent_list: Sequence[int],
+                 share_var_across_orders: bool = True):
+        self.oak_kernel = oak_kernel
+        self.iComponent_list = list(iComponent_list)
+        self.share_var_across_orders = share_var_across_orders
+        self.kernels = [k for i, k in enumerate(oak_kernel.kernels)
+                        if i in self.iComponent_list]
+
+    def K(self, X, X2=None):
+        return self.oak_kernel.component_K(self.iComponent_list, jnp.asarray(X),
+                                           None if X2 is None else jnp.asarray(X2))
+
+    def K_diag(self, X):
+        return self.oak_kernel.component_K_diag(self.iComponent_list,
+                                                jnp.asarray(X))
+
+
+KernelComponenent = KernelComponent  # reference-typo alias
+
+
+def get_list_representation(kernel: OAKKernel, num_dims: int,
+                            share_var_across_orders: bool = True):
+    """(selected_dims, [KernelComponent]) — reference oak_kernel.py:338-364."""
+    selected_dims = component_index_tuples(num_dims, kernel.max_interaction_depth)
+    components = [KernelComponent(kernel, dims, share_var_across_orders)
+                  for dims in selected_dims]
+    return selected_dims, components

@@ -185,9 +185,16 @@ class oak_model:
             if self.use_normalising_flow:
                 self.input_flows[i] = fit_normalizer(X[:, i])
 
-        # output scaling + optional input standardization
+        # output scaling + optional input standardization; classification
+        # labels stay raw {0, 1} (the reference trains its SVGP on raw labels,
+        # uci_classification_train.py:100)
         self.alpha = None
-        self.scaler_y = StandardScaler().fit(Y)
+        if self.likelihood == "bernoulli":
+            self.scaler_y = StandardScaler()
+            self.scaler_y.mean_ = np.zeros(Y.shape[1])
+            self.scaler_y.scale_ = np.ones(Y.shape[1])
+        else:
+            self.scaler_y = StandardScaler().fit(Y)
         self.Y_scaled = self.scaler_y.transform(Y)
         if self.empirical_measure is not None:
             self.scaler_X_empirical = StandardScaler().fit(X[:, self.empirical_measure])

@@ -41,7 +41,7 @@ def _synthetic_classification(n, d, seed=0):
     rng = np.random.default_rng(seed)
     X = rng.normal(size=(n, d))
     w = rng.normal(size=d) / np.sqrt(d)
-    logits = 2.0 * (X @ w + 0.5 * X[:, 0] * X[:, 1 % d])
+    logits = 4.0 * (X @ w + 0.5 * X[:, 0] * X[:, 1 % d])
     y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-logits))).astype(float)
     return X, y.reshape(-1, 1)
 

@@ -13,6 +13,10 @@ from pathlib import Path
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "../..")))
 from datasets import load_classification
 
 

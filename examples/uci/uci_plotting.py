@@ -7,6 +7,10 @@ rebuild needed, cf. reference :163-200).
 
 import argparse
 from pathlib import Path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "../..")))
 
 # Feature-name tables for the documented datasets (reference :19-96)
 COVARIATE_NAMES = {

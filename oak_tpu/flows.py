@@ -75,8 +75,10 @@ class Normalizer:
         z = (u + self.shift.value) * self.scale.value
         t = self.tailweight.value
         g = (jnp.arcsinh(z) + self.skewness.value) * t
+        # log cosh(g) without overflow for |g| > ~88 in f32
+        log_cosh = jnp.abs(g) + jnp.log1p(jnp.exp(-2.0 * jnp.abs(g))) - jnp.log(2.0)
         fldj = (
-            jnp.log(jnp.cosh(g))
+            log_cosh
             + jnp.log(t)
             - 0.5 * jnp.log1p(z * z)
             + jnp.log(self.scale.value)

@@ -286,6 +286,12 @@ class oak_model:
         elif self.optimizer == "adam":
             res = fit_adam(self.m, loss, steps=max_iters)
         else:
+            if isinstance(self.m, SVGP):
+                # Adam warmup moves q off the cold start where the zoom
+                # linesearch can stall in f32, then L-BFGS refines; gentle lr —
+                # 5e-2 overshoots into Cholesky-failure territory on f32
+                warm = fit_adam(self.m, loss, steps=300, lr=2e-2)
+                self.m = warm.model
             res = fit_lbfgs(self.m, loss, max_iters=max_iters)
         self.m = res.model
         self.timings["optimise"] = time.time() - t0

@@ -23,7 +23,16 @@ from ..config import default_jitter
 
 
 def add_jitter(K: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:
-    jitter = default_jitter(K.dtype) if jitter is None else jitter
+    """Default jitter is *relative* to the mean diagonal (floored at the
+    absolute value): an OAK Kuu degenerates towards a rank-1 all-ones-like
+    matrix as lengthscales grow, and an absolute 1e-5 is then far below the
+    f32 noise floor of Cholesky. Explicit ``jitter`` stays absolute."""
+    if jitter is None:
+        base = default_jitter(K.dtype)
+        diag_scale = jnp.maximum(
+            jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1)), 1.0
+        )
+        return K + (base * diag_scale) * jnp.eye(K.shape[-1], dtype=K.dtype)
     return K + jitter * jnp.eye(K.shape[-1], dtype=K.dtype)
 
 

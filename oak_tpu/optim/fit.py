@@ -120,6 +120,9 @@ def fit_adam(model, loss_fn: Callable, steps: int = 1000, lr: float = 1e-2,
         @jax.jit
         def update(vec, opt_state):
             v, g = vg(vec)
+            # drop non-finite steps (transient Cholesky failures at the
+            # edge of the feasible region) instead of poisoning the state
+            g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
             updates, opt_state = opt.update(g, opt_state)
             return optax.apply_updates(vec, updates), opt_state, v
 

@@ -45,7 +45,12 @@ class Gamma(Prior):
 
     def log_prob(self, x):
         a, b = self.concentration, self.rate
-        return a * jnp.log(b) - gammaln(a) + (a - 1.0) * jnp.log(x) - b * x
+        out = a * jnp.log(b) - gammaln(a) - b * x
+        # a == 1 (the reference's sparsity prior) must not evaluate
+        # 0 * log(0) = NaN as a variance is shrunk to 0
+        if a != 1.0:
+            out = out + (a - 1.0) * jnp.log(x)
+        return out
 
 
 @dataclasses.dataclass(frozen=True)

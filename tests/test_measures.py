@@ -37,3 +37,19 @@ def test_measures_are_pytrees():
     assert len(leaves) == 2
     u = UniformMeasure.create(-1.0, 2.0)
     assert len(jax.tree_util.tree_leaves(u)) == 2
+
+
+def test_gamma_prior_finite_at_tiny_values():
+    """Gamma(1, .) must not produce 0*log(0)=NaN as variances shrink to 0
+    (the reference's sparsity prior regime)."""
+    import jax.numpy as jnp
+
+    from oak_tpu.params import Gamma
+
+    g = Gamma(1.0, 0.2)
+    vals = g.log_prob(jnp.asarray([1e-30, 0.0, 1.0]))
+    import numpy as np
+
+    assert np.isfinite(np.asarray(vals)).all()
+    g2 = Gamma(2.0, 0.5)
+    assert np.isfinite(float(g2.log_prob(jnp.asarray(1.0))))

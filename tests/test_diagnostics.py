@@ -1,0 +1,39 @@
+"""Diagnostics + safe_cholesky jitter-escalation tests (SURVEY §5 NaN-guard
+obligations)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oak_tpu.ops.psd import safe_cholesky
+from oak_tpu.utils import Timer, assert_finite, cholesky_health
+
+
+def test_assert_finite_passes_and_fails():
+    assert_finite({"a": jnp.ones(3)}, "ok")
+    with pytest.raises(FloatingPointError):
+        assert_finite({"a": jnp.array([1.0, jnp.nan])}, "bad")
+
+
+def test_safe_cholesky_escalates_jitter(rng):
+    # rank-deficient PSD matrix: plain Cholesky fails, escalation succeeds
+    A = rng.normal(size=(10, 3))
+    K = jnp.asarray(A @ A.T)
+    L, j = safe_cholesky(K, jitter=1e-12, max_tries=8)
+    assert np.isfinite(np.asarray(L)).all()
+    recon = np.asarray(L @ L.T)
+    np.testing.assert_allclose(recon, np.asarray(K), atol=float(j) * 20 + 1e-8)
+
+
+def test_cholesky_health_report(rng):
+    A = rng.normal(size=(6, 6))
+    K = A @ A.T + 6 * np.eye(6)
+    h = cholesky_health(jnp.asarray(K))
+    assert h["finite"] and h["eig_min"] > 0 and h["n"] == 6
+
+
+def test_timer_records():
+    t = Timer()
+    with t("phase"):
+        jnp.ones(10).sum()
+    assert t.results["phase"] >= 0.0

@@ -105,6 +105,28 @@ def fit_normalizer(x: np.ndarray, log: bool = True, max_iters: int = 200,
     return res.model
 
 
+def plot_flow(normalizer: Normalizer, x, title: str = "Normalising Flow"):
+    """Diagnostic scatter + marginal histograms (normalising_flow.py:58-71)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    x = np.asarray(x).reshape(-1)
+    y = np.asarray(normalizer.forward(jnp.asarray(x)))
+    f = plt.figure()
+    ax = f.add_axes([0.3, 0.3, 0.65, 0.65])
+    ax.plot(x, y, "k.", label="Gaussian")
+    ax.legend()
+    ax_x = f.add_axes([0.3, 0.05, 0.65, 0.25], sharex=ax)
+    ax_x.hist(x, bins=20)
+    ax_y = f.add_axes([0.05, 0.3, 0.25, 0.65], sharey=ax)
+    ax_y.hist(y, bins=20, orientation="horizontal")
+    ax_y.set_xlim(ax_y.get_xlim()[::-1])
+    ax.set_title(title)
+    return f
+
+
 def kstest(normalizer: Normalizer, x) -> tuple:
     """KS normality test of the transformed data (normalising_flow.py:81-85)."""
     from scipy import stats

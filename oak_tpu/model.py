@@ -84,6 +84,16 @@ def create_model_oak(
     return model
 
 
+def apply_normalise_flow(X, input_flows) -> np.ndarray:
+    """Apply per-dim flows; dims with no flow pass through
+    (reference model_utils.py:179-191)."""
+    X = np.array(X, np.float64, copy=True)
+    for i, flow in enumerate(input_flows):
+        if flow is not None:
+            X[:, i] = np.asarray(flow.forward(jnp.asarray(X[:, i])))
+    return X
+
+
 class oak_model:
     def __init__(
         self,

@@ -181,3 +181,20 @@ def test_mog_sobol_supported(rng):
     m = GPR.create(X, y, k, noise_variance=0.01)
     tuples, vals = sb.compute_sobol_oak(m)
     assert np.isfinite(vals).all() and vals[0] > 0
+
+
+def test_known_answer_sobol_unshared_variance(rng):
+    """Duvenaud parameterization (share_var_across_orders=False): per-kernel
+    base variances are trainable and enter the Sobol values quadratically
+    inside each L (reference test_sobol_oak_kernel.py covers both modes)."""
+    n = 256
+    X = rng.normal(size=(n, 2))
+    y = (X[:, 0] ** 2 + 2 * X[:, 1] + X[:, 0] * X[:, 1]).reshape(-1, 1)
+    k = OAKKernel.create(num_dims=2, max_interaction_depth=2,
+                         share_var_across_orders=False,
+                         lengthscale_bounds=[1e-3, 1e2])
+    m = GPR.create(X, y, k, noise_variance=0.01)
+    m = fit_lbfgs(m, lambda mm: mm.training_loss(), max_iters=150).model
+    tuples, vals = sb.compute_sobol_oak(m)
+    normalized = vals / vals.sum()
+    np.testing.assert_allclose(normalized, np.array([2, 4, 1]) / 7.0, atol=0.08)

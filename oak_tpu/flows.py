@@ -95,14 +95,74 @@ class Normalizer:
 
 
 def fit_normalizer(x: np.ndarray, log: bool = True, max_iters: int = 200,
-                   dtype=None) -> Normalizer:
-    """Build and L-BFGS-fit a Normalizer on one feature column (reference:
-    scipy-optimized KL at model_utils.py:313-317)."""
+                   dtype=None, optimizer: str = "lbfgs") -> Normalizer:
+    """Build and fit a Normalizer on one feature column (reference:
+    scipy-optimized KL at model_utils.py:313-317). Default is the on-device
+    L-BFGS (one jitted call — the scipy bridge costs one host<->device round
+    trip per objective evaluation); pass optimizer='scipy' for the bridge."""
     n = Normalizer.create(x, log=log, dtype=dtype)
     xj = jnp.asarray(np.asarray(x).reshape(-1), n.offset.dtype)
-    res = fit_scipy(n, lambda m: m.kl_objective(xj), method="L-BFGS-B",
-                    max_iters=max_iters)
+    if optimizer == "scipy":
+        res = fit_scipy(n, lambda m: m.kl_objective(xj), method="L-BFGS-B",
+                        max_iters=max_iters)
+    else:
+        from .optim import fit_lbfgs
+
+        res = fit_lbfgs(n, lambda m: m.kl_objective(xj), max_iters=max_iters)
     return res.model
+
+
+def _stacked_normalizer(X_cols: np.ndarray, log: bool, dtype) -> Normalizer:
+    """One Normalizer with vector parameters [K] over K feature columns."""
+    from .config import default_float
+
+    dtype = dtype or default_float()
+    X_cols = np.asarray(X_cols, np.float64)
+    if log:
+        offset = X_cols.min(axis=0) - 1.0
+        u = np.log(X_cols - offset[None, :])
+    else:
+        offset = np.zeros(X_cols.shape[1])
+        u = X_cols
+    K = X_cols.shape[1]
+    return Normalizer(
+        skewness=param(np.zeros(K), dtype=dtype),
+        tailweight=param(np.ones(K), Exp(), dtype=dtype),
+        scale=param(1.0 / u.std(axis=0), Exp(), dtype=dtype),
+        shift=param(-u.mean(axis=0), dtype=dtype),
+        offset=jnp.asarray(offset, dtype),
+        log=log,
+    )
+
+
+def fit_normalizers(X_cols: np.ndarray, log: bool = True, max_iters: int = 200,
+                    dtype=None) -> list:
+    """Fit flows for K feature columns in ONE on-device L-BFGS run.
+
+    The per-dim flows are independent, so the summed KL objective optimizes
+    each independently; a single jitted run replaces K scipy loops (the
+    reference fits each dim with its own scipy optimizer,
+    model_utils.py:305-317). Returns K scalar-parameter Normalizers.
+    """
+    from .optim import fit_lbfgs
+
+    X_cols = np.asarray(X_cols, np.float64)
+    n = _stacked_normalizer(X_cols, log, dtype)
+    xj = jnp.asarray(X_cols, n.offset.dtype)
+    res = fit_lbfgs(n, lambda m: m.kl_objective(xj), max_iters=max_iters)
+    fitted = res.model
+
+    out = []
+    for k in range(X_cols.shape[1]):
+        out.append(Normalizer(
+            skewness=fitted.skewness.replace(raw=fitted.skewness.raw[k]),
+            tailweight=fitted.tailweight.replace(raw=fitted.tailweight.raw[k]),
+            scale=fitted.scale.replace(raw=fitted.scale.raw[k]),
+            shift=fitted.shift.replace(raw=fitted.shift.raw[k]),
+            offset=fitted.offset[k],
+            log=log,
+        ))
+    return out
 
 
 def plot_flow(normalizer: Normalizer, x, title: str = "Normalising Flow"):

@@ -185,15 +185,20 @@ class oak_model:
                     K=int(self.gmm_measure[i]), X=X[:, i]
                 )
 
-        # normalising flows per continuous dim (model_utils.py:305-317)
+        # normalising flows per continuous dim (model_utils.py:305-317),
+        # all fitted in one on-device L-BFGS run
         self.input_flows = [None] * self.num_dims
-        for i in self.continuous_index:
-            if self.empirical_measure is not None and i in self.empirical_measure:
-                continue
-            if self.estimated_gmm_measures[i] is not None:
-                continue
-            if self.use_normalising_flow:
-                self.input_flows[i] = fit_normalizer(X[:, i])
+        if self.use_normalising_flow:
+            flow_dims = [
+                i for i in self.continuous_index
+                if not (self.empirical_measure is not None and i in self.empirical_measure)
+                and self.estimated_gmm_measures[i] is None
+            ]
+            if flow_dims:
+                from .flows import fit_normalizers
+
+                for i, flow in zip(flow_dims, fit_normalizers(X[:, flow_dims])):
+                    self.input_flows[i] = flow
 
         # output scaling + optional input standardization; classification
         # labels stay raw {0, 1} (the reference trains its SVGP on raw labels,

@@ -114,6 +114,140 @@ def _pallas_gram(u1, u2, c1, c2, bvar, sig2, depth: int) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------- #
+# Backward kernel
+# --------------------------------------------------------------------------- #
+def _gram_bwd_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, gbar_ref,
+                     du1_ref, dc1_ref, du2p_ref, dc2p_ref, dbp_ref, ds2p_ref,
+                     *, depth: int, num_dims: int):
+    """Per (i, j) tile: recompute the per-dim grams, form the cotangents of
+    every prescaled input via the elementary-symmetric downdate recursion
+    h_k^{(-d)} = e_k - g_d h_{k-1}^{(-d)} (so dOut/dg_d = sum_n s2_n h_{n-1}),
+    and accumulate: du1/dc1 in-place across the (fast) j grid dim; du2/dc2/db/
+    ds2 into per-i partials summed in XLA afterwards."""
+    P = depth
+    j = pl.program_id(1)
+    gbar = gbar_ref[:]
+
+    # du1/dc1/db/ds2 blocks are revisited across the fast j dim -> accumulate
+    # after zero-init; du2p/dc2p blocks are visited exactly once per (i, j)
+    # -> plain writes below.
+    @pl.when(j == 0)
+    def _init():
+        du1_ref[:] = jnp.zeros_like(du1_ref)
+        dc1_ref[:] = jnp.zeros_like(dc1_ref)
+        dbp_ref[:] = jnp.zeros_like(dbp_ref)
+        ds2p_ref[:] = jnp.zeros_like(ds2p_ref)
+
+    # pass 1: power sums -> e_0..e_P (recomputed, nothing kept from fwd)
+    s = [None] * P
+    for d in range(num_dims):
+        du = u1_ref[d, :][:, None] - u2_ref[d, :][None, :]
+        g = bvar_ref[0, d] * jnp.exp(-0.5 * du * du) \
+            - c1_ref[d, :][:, None] * c2_ref[d, :][None, :]
+        gp = g
+        for p in range(P):
+            s[p] = gp if s[p] is None else s[p] + gp
+            if p + 1 < P:
+                gp = gp * g
+    ones = jnp.ones_like(gbar)
+    e = [ones]
+    for n in range(1, P + 1):
+        term = None
+        for k in range(1, n + 1):
+            t = e[n - k] * s[k - 1] if n - k > 0 else s[k - 1]
+            t = t if k % 2 == 1 else -t
+            term = t if term is None else term + t
+        e.append(term / n)
+
+    # ds2[n] = sum_ij gbar * e_n
+    for n in range(P + 1):
+        ds2p_ref[0, 0, n] += jnp.sum(gbar * e[n])
+
+    # pass 2: per-dim cotangents
+    for d in range(num_dims):
+        u1d = u1_ref[d, :][:, None]
+        u2d = u2_ref[d, :][None, :]
+        c1d = c1_ref[d, :][:, None]
+        c2d = c2_ref[d, :][None, :]
+        du = u1d - u2d
+        E = jnp.exp(-0.5 * du * du)
+        bE = bvar_ref[0, d] * E
+        g = bE - c1d * c2d
+
+        # W = sum_{n>=1} s2_n e_{n-1}^{(-d)} via the downdate recursion
+        h = ones
+        W = sig_ref[0, 1] * ones
+        for k in range(1, P):
+            h = e[k] - g * h
+            W = W + sig_ref[0, k + 1] * h
+        T = gbar * W
+
+        TbE = T * bE
+        du1_ref[d, :] += jnp.sum(TbE * (-du), axis=1)
+        du2p_ref[0, d, :] = jnp.sum(TbE * du, axis=0)
+        dc1_ref[d, :] += -jnp.sum(T * c2d, axis=1)
+        dc2p_ref[0, d, :] = -jnp.sum(T * c1d, axis=0)
+        dbp_ref[0, 0, d] += jnp.sum(T * E)
+
+
+def _pallas_gram_bwd(u1, u2, c1, c2, bvar, sig2, gbar, depth: int):
+    D, Np = u1.shape
+    Mp = u2.shape[1]
+    gi, gj = Np // TILE_N, Mp // TILE_M
+    kernel = functools.partial(_gram_bwd_kernel, depth=depth, num_dims=D)
+    out_shapes = (
+        jax.ShapeDtypeStruct((D, Np), jnp.float32),        # du1
+        jax.ShapeDtypeStruct((D, Np), jnp.float32),        # dc1
+        jax.ShapeDtypeStruct((gi, D, Mp), jnp.float32),    # du2 partials
+        jax.ShapeDtypeStruct((gi, D, Mp), jnp.float32),    # dc2 partials
+        jax.ShapeDtypeStruct((gi, 1, D), jnp.float32),     # db partials
+        jax.ShapeDtypeStruct((gi, 1, depth + 1), jnp.float32),  # ds2 partials
+    )
+    du1, dc1, du2p, dc2p, dbp, ds2p = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=pl.GridSpec(
+            grid=(gi, gj),
+            in_specs=[
+                pl.BlockSpec((1, depth + 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, D), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((D, TILE_N), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, TILE_M), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, TILE_N), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, TILE_M), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_N, TILE_M), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((D, TILE_N), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, TILE_N), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, TILE_M), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, TILE_M), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, D), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, depth + 1), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+    )(sig2, bvar, u1, u2, c1, c2, gbar)
+    du2 = jnp.sum(du2p, axis=0)
+    dc2 = jnp.sum(dc2p, axis=0)
+    db = jnp.sum(dbp, axis=(0, 1))[None, :]
+    ds2 = jnp.sum(ds2p, axis=(0, 1))[None, :]
+    return du1, du2, dc1, dc2, db, ds2
+
+
+# --------------------------------------------------------------------------- #
 # Prep + XLA reference + custom VJP wrapper
 # --------------------------------------------------------------------------- #
 def _prep(oak, X, X2):
@@ -174,8 +308,15 @@ def _gram_fwd(u1, u2, c1, c2, bvar, sig2, depth):
     return _pallas_gram(u1, u2, c1, c2, bvar, sig2, depth), (u1, u2, c1, c2, bvar, sig2)
 
 
+# backward implementation selector: "pallas" (fused kernel) or "xla"
+# (autodiff of the reference implementation) — module-level for testing
+BACKWARD = "pallas"
+
+
 def _gram_bwd(depth, res, g):
     u1, u2, c1, c2, bvar, sig2 = res
+    if BACKWARD == "pallas":
+        return _pallas_gram_bwd(u1, u2, c1, c2, bvar, sig2, g, depth)
     _, vjp = jax.vjp(lambda *a: _xla_gram_from_prep(*a, depth), u1, u2, c1, c2,
                      bvar, sig2)
     return vjp(g)

@@ -49,17 +49,42 @@ def test_pallas_interpret_matches_xla(rng):
                                rtol=1e-6, atol=1e-7)
 
 
-def test_pallas_gradients_match_xla(rng):
+@pytest.mark.parametrize("backward", ["pallas", "xla"])
+def test_pallas_gradients_match_xla(rng, backward):
     oak, X, X2 = _setup(rng, N=64, M=40)
 
     def loss_p(o):
-        with pltpu.force_tpu_interpret_mode():
-            return ogp.oak_gram(o, X, X2).sum()
+        return ogp.oak_gram(o, X, X2).sum()
 
     def loss_x(o):
         return ogp.oak_gram_xla(o, X, X2).sum()
 
-    gp = jax.grad(loss_p)(oak)
+    old = ogp.BACKWARD
+    ogp.BACKWARD = backward
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            gp = jax.grad(loss_p)(oak)
+    finally:
+        ogp.BACKWARD = old
+    gx = jax.grad(loss_x)(oak)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_pallas_backward_weighted_cotangent(rng):
+    """Non-trivial cotangent (not all-ones) through the fused backward."""
+    oak, X, X2 = _setup(rng, N=72, M=48, depth=4)
+    W = jnp.asarray(rng.normal(size=(72, 48)).astype(np.float32))
+
+    def loss_p(o):
+        return (ogp.oak_gram(o, X, X2) * W).sum()
+
+    def loss_x(o):
+        return (ogp.oak_gram_xla(o, X, X2) * W).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p)(oak)
     gx = jax.grad(loss_x)(oak)
     for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -119,11 +119,12 @@ def _pallas_gram(u1, u2, c1, c2, bvar, sig2, depth: int) -> jnp.ndarray:
 def _gram_bwd_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, gbar_ref,
                      du1_ref, dc1_ref, du2p_ref, dc2p_ref, dbp_ref, ds2p_ref,
                      *, depth: int, num_dims: int):
-    """Per (i, j) tile: recompute the per-dim grams, form the cotangents of
-    every prescaled input via the elementary-symmetric downdate recursion
-    h_k^{(-d)} = e_k - g_d h_{k-1}^{(-d)} (so dOut/dg_d = sum_n s2_n h_{n-1}),
-    and accumulate: du1/dc1 in-place across the (fast) j grid dim; du2/dc2/db/
-    ds2 into per-i partials summed in XLA afterwards."""
+    """Per (i, j) tile: recompute the per-dim grams ONCE (kept live in VMEM —
+    pass 2 recovers E = (g + c1 c2)/b algebraically, no second exp sweep),
+    form the cotangents of every prescaled input via the elementary-symmetric
+    downdate recursion h_k^{(-d)} = e_k - g_d h_{k-1}^{(-d)} (so dOut/dg_d =
+    sum_n s2_n h_{n-1}), and accumulate: du1/dc1 in-place across the (fast)
+    j grid dim; du2/dc2/db/ds2 into per-i partials summed in XLA afterwards."""
     P = depth
     j = pl.program_id(1)
     gbar = gbar_ref[:]
@@ -138,12 +139,14 @@ def _gram_bwd_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, gbar_ref
         dbp_ref[:] = jnp.zeros_like(dbp_ref)
         ds2p_ref[:] = jnp.zeros_like(ds2p_ref)
 
-    # pass 1: power sums -> e_0..e_P (recomputed, nothing kept from fwd)
+    # pass 1: per-dim grams (kept) + power sums -> e_0..e_P
+    gs = []
     s = [None] * P
     for d in range(num_dims):
         du = u1_ref[d, :][:, None] - u2_ref[d, :][None, :]
         g = bvar_ref[0, d] * jnp.exp(-0.5 * du * du) \
             - c1_ref[d, :][:, None] * c2_ref[d, :][None, :]
+        gs.append(g)
         gp = g
         for p in range(P):
             s[p] = gp if s[p] is None else s[p] + gp
@@ -159,20 +162,21 @@ def _gram_bwd_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, gbar_ref
             term = t if term is None else term + t
         e.append(term / n)
 
-    # ds2[n] = sum_ij gbar * e_n
-    for n in range(P + 1):
-        ds2p_ref[0, 0, n] += jnp.sum(gbar * e[n])
+    # ds2[n] = sum_ij gbar * e_n  (single vector store: Mosaic cannot store
+    # scalars to VMEM)
+    ds2_vals = [jnp.sum(gbar * e[n]) for n in range(P + 1)]
+    ds2p_ref[0, 0, :] += jnp.stack(ds2_vals)
 
-    # pass 2: per-dim cotangents
+    # pass 2: per-dim cotangents (no exp: E recovered from the stored gram)
+    db_vals = []
     for d in range(num_dims):
         u1d = u1_ref[d, :][:, None]
         u2d = u2_ref[d, :][None, :]
         c1d = c1_ref[d, :][:, None]
         c2d = c2_ref[d, :][None, :]
         du = u1d - u2d
-        E = jnp.exp(-0.5 * du * du)
-        bE = bvar_ref[0, d] * E
-        g = bE - c1d * c2d
+        g = gs[d]
+        bE = g + c1d * c2d
 
         # W = sum_{n>=1} s2_n e_{n-1}^{(-d)} via the downdate recursion
         h = ones
@@ -187,12 +191,20 @@ def _gram_bwd_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, gbar_ref
         du2p_ref[0, d, :] = jnp.sum(TbE * du, axis=0)
         dc1_ref[d, :] += -jnp.sum(T * c2d, axis=1)
         dc2p_ref[0, d, :] = -jnp.sum(T * c1d, axis=0)
-        dbp_ref[0, 0, d] += jnp.sum(T * E)
+        db_vals.append(jnp.sum(T * bE) / bvar_ref[0, d])
+    dbp_ref[0, 0, :] += jnp.stack(db_vals)
+
+
+# backward tiles are smaller: the kernel keeps all D per-dim gram tiles live
+# in VMEM (D * TILE^2 * 4B; 2 MB at D=32, 128x128)
+BWD_TILE_N = 128
+BWD_TILE_M = 128
 
 
 def _pallas_gram_bwd(u1, u2, c1, c2, bvar, sig2, gbar, depth: int):
     D, Np = u1.shape
     Mp = u2.shape[1]
+    TILE_N, TILE_M = BWD_TILE_N, BWD_TILE_M  # noqa: N806 (shadow fwd tiles)
     gi, gj = Np // TILE_N, Mp // TILE_M
     kernel = functools.partial(_gram_bwd_kernel, depth=depth, num_dims=D)
     out_shapes = (
@@ -308,9 +320,14 @@ def _gram_fwd(u1, u2, c1, c2, bvar, sig2, depth):
     return _pallas_gram(u1, u2, c1, c2, bvar, sig2, depth), (u1, u2, c1, c2, bvar, sig2)
 
 
-# backward implementation selector: "pallas" (fused kernel) or "xla"
-# (autodiff of the reference implementation) — module-level for testing
-BACKWARD = "pallas"
+# Backward implementation selector: "xla" (autodiff of the reference
+# implementation, recompute-based) or "pallas" (the fused kernel above).
+# Measured on v5e at the pumadyn config (N=8192, M=512, D=32, P=3): XLA's
+# fused recompute backward gives a 4.3 ms train step vs 5.2-5.8 ms for the
+# handwritten kernel (XLA schedules the recompute + reductions better than
+# the two-pass VMEM-resident variant) — so "xla" is the default; the Pallas
+# path stays available and tested for when fusion regresses.
+BACKWARD = "xla"
 
 
 def _gram_bwd(depth, res, g):

@@ -131,6 +131,11 @@ class OAKKernel:
             raise ValueError("Active dims contains duplicates.")
         if max(flat) >= num_dims:
             raise ValueError("Active dims exceeding num dims.")
+        if any(len(g) != 1 for g in active_dims):
+            # the reference accepts multi-dim groups at construction but its
+            # 1-D kernels reject them at evaluation (ortho_rbf_kernel.py:50);
+            # fail loudly here instead
+            raise NotImplementedError("active_dims groups must be single dims")
         D = len(active_dims)
 
         p0 = list(p0) if p0 is not None else [None] * D

@@ -312,6 +312,80 @@ class oak_model:
         self.timings["optimise"] = time.time() - t0
         return res
 
+    def optimise_minibatch(self, batch_size: int = 256, steps: int = 2000,
+                           lr: float = 1e-2, seed: int = 0):
+        """Minibatched Adam on the SVGP ELBO (the scalable alternative to
+        full-batch L-BFGS; only valid for SVGP models, whose bound is a sum
+        over datapoints)."""
+        if not isinstance(self.m, SVGP):
+            raise ValueError("minibatch training requires likelihood='bernoulli' "
+                             "or an SVGP model")
+        X, Y = self._train_data
+        Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+        n = X.shape[0]
+        rng = np.random.default_rng(seed)
+        batch_size = min(batch_size, n)
+        idx_stream = [jnp.asarray(rng.choice(n, batch_size, replace=False))
+                      for _ in range(steps)]
+
+        def batch_fn(i):
+            return (Xj[idx_stream[i]], Yj[idx_stream[i]])
+
+        def loss(m, Xb, Yb):
+            return m.training_loss(Xb, Yb)
+
+        t0 = time.time()
+        res = fit_adam(self.m, loss, steps=steps, lr=lr, batch_fn=batch_fn)
+        self.m = res.model
+        self.timings["optimise_minibatch"] = time.time() - t0
+        return res
+
+    def export_predict(self):
+        """A standalone jitted predict function over raw (unscaled) inputs —
+        the serving export: closes over transforms + model, compiles once."""
+        import jax
+
+        flows = list(self.input_flows)
+        m = self.m
+        xmin = jnp.asarray(self.xmin)
+        xmax = jnp.asarray(self.xmax)
+        y_mean = jnp.asarray(self.scaler_y.mean_)
+        y_scale = jnp.asarray(self.scaler_y.scale_)
+        emp = self.empirical_measure
+        emp_mean = (jnp.asarray(self.scaler_X_empirical.mean_)
+                    if self.scaler_X_empirical is not None else None)
+        emp_scale = (jnp.asarray(self.scaler_X_empirical.scale_)
+                     if self.scaler_X_empirical is not None else None)
+        cont = list(self.continuous_index)
+        cont_mean = (jnp.asarray(self.scaler_X_continuous.mean_)
+                     if self.scaler_X_continuous is not None else None)
+        cont_scale = (jnp.asarray(self.scaler_X_continuous.scale_)
+                      if self.scaler_X_continuous is not None else None)
+        is_bernoulli = isinstance(m, SVGP) and isinstance(m.likelihood, Bernoulli)
+
+        @jax.jit
+        def predict(X):
+            X = jnp.clip(jnp.asarray(X), xmin, xmax)
+            cols = []
+            for i in range(X.shape[1]):
+                c = X[:, i]
+                if flows[i] is not None:
+                    c = flows[i].forward(c)
+                cols.append(c)
+            Xs = jnp.stack(cols, axis=1)
+            if emp is not None:
+                scaled = (Xs[:, jnp.asarray(emp)] - emp_mean) / emp_scale
+                Xs = Xs.at[:, jnp.asarray(emp)].set(scaled)
+            if cont_mean is not None:
+                scaled = (Xs[:, jnp.asarray(cont)] - cont_mean) / cont_scale
+                Xs = Xs.at[:, jnp.asarray(cont)].set(scaled)
+            mu, var = m.predict_f(Xs)
+            if is_bernoulli:
+                return m.likelihood.invlink(mu)[:, 0]
+            return (mu * y_scale + y_mean)[:, 0]
+
+        return predict
+
     # ------------------------------------------------------------------ #
     def _scale_y_inverse(self, y):
         return self.scaler_y.inverse_transform(np.asarray(y))

@@ -153,3 +153,26 @@ def test_plot_smoke(tmp_path, rng):
     figs = oak.plot(top_n=3, save_fig=str(tmp_path / "figs"))
     assert len(figs) == 3
     assert any(p.suffix == ".pdf" for p in (tmp_path / "figs").iterdir())
+
+
+def test_minibatch_training_improves(rng):
+    n = 300
+    X = rng.normal(size=(n, 2))
+    y = (X[:, 0] > 0).astype(float).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2, num_inducing=16,
+                    likelihood="bernoulli")
+    oak.fit(X, y, optimise=False)
+    loss0 = float(oak._loss_fn()(oak.m))
+    res = oak.optimise_minibatch(batch_size=64, steps=60, lr=2e-2)
+    loss1 = float(oak._loss_fn()(oak.m))
+    assert loss1 < loss0
+
+
+def test_export_predict_matches_predict(rng):
+    X, y = _regression_data(rng, n=48)
+    oak = oak_model(max_interaction_depth=2)
+    oak.fit(X, y, optimise=True)
+    f = oak.export_predict()
+    p1 = np.asarray(f(X))
+    p2 = oak.predict(X, clip=True)
+    np.testing.assert_allclose(p1, p2, rtol=1e-8, atol=1e-10)

@@ -16,8 +16,6 @@ one fused XLA kernel per feature; fitting uses the shared optimizers.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 from flax import struct

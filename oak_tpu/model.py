@@ -21,11 +21,9 @@ from typing import List, Optional, Sequence
 import numpy as np
 import jax.numpy as jnp
 
-from .config import default_float
-from .flows import Normalizer, fit_normalizer
+from .flows import Normalizer
 from .kernels import OAKKernel
-from .measures import MOGMeasure
-from .models import GPR, SGPR, SVGP, Bernoulli, Gaussian
+from .models import GPR, SGPR, SVGP, Bernoulli
 from .optim import fit_adam, fit_lbfgs, fit_scipy
 from .preprocessing import (
     StandardScaler,

@@ -15,7 +15,6 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import struct
 
-from ..config import default_jitter
 from ..kernels.oak_kernel import OAKKernel
 from ..ops.psd import cholesky, solve_lower, solve_upper
 from ..params import Param, fixed, log_prior_density, param

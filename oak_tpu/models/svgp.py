@@ -14,7 +14,6 @@ full-batch L-BFGS parity runs and data-parallel Adam on a device mesh.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -23,7 +22,6 @@ from flax import struct
 from ..kernels.oak_kernel import OAKKernel
 from ..ops.psd import cholesky, solve_lower, solve_upper
 from ..params import Param, fixed, log_prior_density, param, positive
-from .likelihoods import Bernoulli, Gaussian
 
 
 @struct.dataclass

@@ -21,7 +21,7 @@ testing (mirrors tests/test_kernel_properties.py in the reference).
 from __future__ import annotations
 
 import itertools
-from typing import Callable, List, Sequence
+from typing import List, Sequence
 
 import jax.numpy as jnp
 

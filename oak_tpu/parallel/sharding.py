@@ -17,7 +17,7 @@ documented deliberately rather than invented (SURVEY §5).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -27,7 +27,6 @@ matplotlib.use("Agg")
 from matplotlib import pyplot as plt  # noqa: E402
 
 from .kernels.oak_kernel import kernel_K, kernel_K_diag  # noqa: E402
-from .models import SVGP  # noqa: E402
 
 
 @dataclass

@@ -37,7 +37,7 @@ rather than clone (see PARITY_NOTES.md).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax

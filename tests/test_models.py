@@ -169,3 +169,35 @@ def test_gaussian_vs_bernoulli_predict_log_density_shapes(rng):
     ld = m.predict_log_density(X, y)
     assert ld.shape == (12,)
     assert np.all(np.isfinite(np.asarray(ld)))
+
+
+def test_gpr_multioutput_columns(rng):
+    """Multi-column Y: log marginal sums per-column terms, predictions share
+    variance (GPflow semantics the reference relies on)."""
+    X = rng.normal(size=(20, 2))
+    Y = np.column_stack([np.sin(X[:, 0]), np.cos(X[:, 1])])
+    m = GPR.create(X, Y, _kernel(), noise_variance=0.1)
+    lml = float(m.log_marginal_likelihood())
+    l1 = float(GPR.create(X, Y[:, :1], _kernel(), noise_variance=0.1)
+               .log_marginal_likelihood())
+    l2 = float(GPR.create(X, Y[:, 1:], _kernel(), noise_variance=0.1)
+               .log_marginal_likelihood())
+    np.testing.assert_allclose(lml, l1 + l2, rtol=1e-9)
+    mu, var = m.predict_f(X[:5])
+    assert mu.shape == (5, 2) and var.shape == (5, 2)
+
+
+def test_bernoulli_predict_log_density_vs_mc(rng):
+    """Gauss-Hermite predictive density against Monte Carlo over f."""
+    from oak_tpu.models.likelihoods import Bernoulli
+
+    lik = Bernoulli.create("logit")
+    fmu = jnp.asarray([[0.3], [-1.2], [2.0]])
+    fvar = jnp.asarray([[0.5], [1.5], [0.2]])
+    y = jnp.asarray([[1.0], [0.0], [1.0]])
+    ld = np.asarray(lik.predict_log_density(fmu, fvar, y))
+    f = rng.normal(size=(3, 1, 200_000)) * np.sqrt(np.asarray(fvar))[:, :, None] \
+        + np.asarray(fmu)[:, :, None]
+    p = np.asarray(lik.invlink(jnp.asarray(f)))
+    dens = np.where(np.asarray(y)[:, :, None] > 0.5, p, 1 - p).mean(axis=-1)
+    np.testing.assert_allclose(np.exp(ld)[:, 0], dens[:, 0], rtol=5e-3)

@@ -280,11 +280,29 @@ def _order_scales(oak: OAKKernel, orders: jnp.ndarray, dtype) -> jnp.ndarray:
     return (vs ** 2)[orders]
 
 
+def _host_param_value(p) -> np.ndarray:
+    """Constrained value computed with numpy on the host — evaluating
+    ``p.value`` eagerly dispatches several tiny device ops per parameter
+    (~70 ms each through the TPU tunnel; routing over 32 dims cost 2.4 s)."""
+    from .bijectors import Exp, Sigmoid, Softplus
+
+    raw = np.asarray(p.raw)
+    b = p.bij
+    if isinstance(b, Softplus):
+        return np.logaddexp(0.0, raw) + b.low
+    if isinstance(b, Sigmoid):
+        return b.low + (b.high - b.low) / (1.0 + np.exp(-raw))
+    if isinstance(b, Exp):
+        return np.exp(raw)
+    return raw
+
+
 def _usable_factor(kernel) -> bool:
     """Factor path is accurate unless a Gaussian-measure RBF lengthscale is
     far below the quadrature node spacing (concrete host-side decision)."""
     if isinstance(kernel, OrthogonalRBF) and isinstance(kernel.measure, GaussianMeasure):
-        return float(kernel.lengthscale.value) > 0.5 * float(jnp.sqrt(kernel.measure.var))
+        l = float(_host_param_value(kernel.lengthscale))
+        return l > 0.5 * float(np.sqrt(np.asarray(kernel.measure.var)))
     return True
 
 
@@ -328,15 +346,16 @@ def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...]) -> jnp.ndar
         pair_list = [t for t in tuples if len(t) == 2]
         if pair_list:
             pidx = jnp.asarray(pair_list, jnp.int32)
-            # T_pair = F_i^T diag(a) F_j for all pairs at once via the
-            # precomputed diag(a)-weighted factors
+            # All pairs in one batched contraction (a sequential lax.map costs
+            # ~4 ms/pair on TPU in dispatch/gather overhead — 496 pairs made
+            # Sobol look 70x slower than it is)
             Fa = Fs * a[None, :, None]  # [D, N, Q]
-
-            def pair_val(pq):
-                T = jnp.einsum("nq,np->qp", Fa[pq[0]], Fs[pq[1]])
-                return Ws[pq[0]] @ (T * T) @ Ws[pq[1]]
-
-            parts["R2"] = jax.lax.map(pair_val, pidx)
+            Fi = Fa[pidx[:, 0]]  # [C2, N, Q]
+            Fj = Fs[pidx[:, 1]]  # [C2, N, Q]
+            T = jnp.einsum("cnq,cnp->cqp", Fi, Fj)
+            Wi = Ws[pidx[:, 0]]
+            Wj = Ws[pidx[:, 1]]
+            parts["R2"] = jnp.einsum("cq,cqp,cp->c", Wi, T * T, Wj)
         hadamard_idx = [i for i, t in enumerate(tuples) if len(t) > 2]
     else:
         hadamard_idx = list(range(len(tuples)))

@@ -311,11 +311,90 @@ def _model_X(model):
     return model.data[0] if X is None else X
 
 
+# Cap on the prefix-product matrix Q_k [C_k, N*N] kept live by the ladder;
+# above it the remaining orders fall back to a chunked gather-product map.
+_LADDER_BYTES_CAP = 2 * 1024 ** 3
+
+
+def _ladder_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,
+                      max_order: int) -> dict:
+    """alpha^T (Hadamard-prod of L_d) alpha for EVERY combination of every
+    order 1..max_order, batched.
+
+    Replaces the former sequential ``lax.map`` over components (one tiny
+    kernel launch per component — ~4 ms each through the TPU tunnel; 4,960
+    depth-3 components made full Sobol minutes-slow). Instead: flatten each
+    L to a row of Lf [D, N^2], fold alpha in once as A = vec(a a^T), and walk
+    a prefix ladder — Q_1 = Lf * A, then for each order the values of ALL
+    one-dim extensions are a single MXU matmul ext = Q_{k-1} @ Lf^T
+    [C_{k-1}, D], and Q_k is a gather-and-multiply of the surviving
+    (prefix, last) rows. O(C_{k-1} * D * N^2) MACs per order, reading Q and
+    Lf once instead of gathering k L-matrices per component.
+
+    Returns {order: values}, values in itertools.combinations order (the
+    ladder extends prefixes lexicographically, which preserves it).
+    Reference semantics: utils.py:338-435 per-component products.
+    """
+    N = Lstack.shape[1]
+    X = N * N
+    Lf = Lstack[:D].reshape(D, X)
+    A = (a[:, None] * a[None, :]).reshape(X)
+    Q = Lf * A[None, :]  # [D, X]
+    vals = {1: jnp.sum(Q, axis=1)}
+    prefixes = [(d,) for d in range(D)]
+    itemsize = np.dtype(Lstack.dtype).itemsize
+
+    for k in range(2, max_order + 1):
+        ext = Q @ Lf.T  # [C_{k-1}, D]
+        rows, lasts, new_prefixes = [], [], []
+        for r, t in enumerate(prefixes):
+            for last in range(t[-1] + 1, D):
+                rows.append(r)
+                lasts.append(last)
+                new_prefixes.append(t + (last,))
+        rows_j = jnp.asarray(np.asarray(rows, np.int32))
+        lasts_j = jnp.asarray(np.asarray(lasts, np.int32))
+        vals[k] = ext[rows_j, lasts_j]
+        if k < max_order:
+            if len(new_prefixes) * X * itemsize > _LADDER_BYTES_CAP:
+                # remaining orders: chunked gather-product (memory-bounded)
+                vals.update(_chunked_quadforms(Lstack, a, D, k + 1, max_order))
+                break
+            Q = Q[rows_j] * Lf[lasts_j]
+            prefixes = new_prefixes
+    return vals
+
+
+def _chunked_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,
+                       order_from: int, order_to: int) -> dict:
+    """Fallback for very large C_k: batched (vmapped-in-chunks) Hadamard
+    products + quadratic forms, chunk size picked from the [B, N, N] buffer."""
+    import itertools as it
+
+    N = Lstack.shape[1]
+    B = max(1, min(256, int(2 ** 27 // max(N * N, 1))))
+    out = {}
+    for k in range(order_from, order_to + 1):
+        idx = np.asarray(list(it.combinations(range(D), k)), np.int32)
+        if idx.size == 0:
+            out[k] = jnp.zeros((0,), Lstack.dtype)
+            continue
+
+        def one(c_idx):
+            L = Lstack[c_idx[0]]
+            for j in range(1, k):
+                L = L * Lstack[c_idx[j]]
+            return a @ L @ a
+
+        out[k] = jax.lax.map(one, jnp.asarray(idx), batch_size=min(B, len(idx)))
+    return out
+
+
 def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...]) -> jnp.ndarray:
     """All component Sobol values (reference component order, constant
     skipped), as one fused computation. Orders 1-2 use the factorized
     cancellation-free quadratic form when every dim factorizes; higher orders
-    and non-factorizable dims use the Hadamard route on the L stack."""
+    and non-factorizable dims use the batched Hadamard ladder on the L stack."""
     oak: OAKKernel = model.kernel
     X = jnp.asarray(_model_X(model))
     a = model.posterior_alpha()[:, 0]
@@ -363,17 +442,23 @@ def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...]) -> jnp.ndar
     if hadamard_idx:
         Lstack = _dim_L_stack(oak, X)
         P = max(len(tuples[i]) for i in hadamard_idx)
-        idx = np.full((len(hadamard_idx), P), D, dtype=np.int32)
-        for row, i in enumerate(hadamard_idx):
-            idx[row, : len(tuples[i])] = tuples[i]
+        min_order = min(len(tuples[i]) for i in hadamard_idx)
+        ladder = _ladder_quadforms(Lstack, a, D, P)
+        # scatter each order's values into RH (hadamard tuple order) with one
+        # gather per order, not one per component
+        import itertools as it
 
-        def one(c_idx):
-            L = Lstack[c_idx[0]]
-            for j in range(1, P):
-                L = L * Lstack[c_idx[j]]
-            return a @ L @ a
-
-        parts["RH"] = jax.lax.map(one, jnp.asarray(idx))
+        RH = jnp.zeros((len(hadamard_idx),), Lstack.dtype)
+        order_of = [len(tuples[i]) for i in hadamard_idx]
+        for k in range(min_order, P + 1):
+            pos_k = {t: i for i, t in enumerate(it.combinations(range(D), k))}
+            rows = [j for j, o in enumerate(order_of) if o == k]
+            if not rows:
+                continue
+            p = np.asarray([pos_k[tuple(tuples[hadamard_idx[j]])] for j in rows],
+                           np.int32)
+            RH = RH.at[np.asarray(rows, np.int32)].set(ladder[k][p])
+        parts["RH"] = RH
 
     # assemble in component order
     values = []
@@ -463,13 +548,18 @@ def _prediction_component_impl(model, X, depth: int) -> jnp.ndarray:
     else:
         scales = jnp.ones(orders.shape, G.dtype)
 
-    def one(c_idx, scale):
+    def one(args):
+        c_idx, scale = args
         Kc = G[c_idx[0]]
         for j in range(1, P):
             Kc = Kc * G[c_idx[j]]
         return scale * (Kc @ a)
 
-    return jax.lax.map(lambda args: one(*args), (jnp.asarray(idx), scales))
+    # vmapped in chunks (lax.map batch_size) instead of a sequential scan:
+    # each chunk materializes a [B, N, M] product buffer, so pick B from it
+    nm = G.shape[1] * G.shape[2]
+    B = max(1, min(len(tuples), int(2 ** 27 // max(nm, 1)) or 1))
+    return jax.lax.map(one, (jnp.asarray(idx), scales), batch_size=B)
 
 
 _prediction_component_jit = jax.jit(_prediction_component_impl,

@@ -198,3 +198,77 @@ def test_known_answer_sobol_unshared_variance(rng):
     tuples, vals = sb.compute_sobol_oak(m)
     normalized = vals / vals.sum()
     np.testing.assert_allclose(normalized, np.array([2, 4, 1]) / 7.0, atol=0.08)
+
+
+# --------------------------------------------------------------------------- #
+# Batched high-order component paths (the ladder replacing per-component maps)
+# --------------------------------------------------------------------------- #
+def _naive_component_sobol(m, depth):
+    """Direct per-component Hadamard products in numpy — ground truth for the
+    batched ladder (reference semantics utils.py:369-432)."""
+    from oak_tpu.kernels import component_index_tuples
+
+    oak = m.kernel
+    X = jnp.asarray(sb._model_X(m))
+    a = np.asarray(m.posterior_alpha())[:, 0]
+    tuples = component_index_tuples(oak.num_dims, depth)[1:]
+    Ls = [np.asarray(sb.compute_L_for_kernel(k, X[:, k.active_dim]))
+          for k in oak.kernels]
+    vals = []
+    for t in tuples:
+        L = Ls[t[0]].copy()
+        for d in t[1:]:
+            L = L * Ls[d]
+        vals.append(a @ L @ a)
+    orders = jnp.asarray([len(t) for t in tuples], jnp.int32)
+    scales = np.asarray(sb._order_scales(oak, orders, Ls[0].dtype))
+    return tuples, np.asarray(vals) * scales
+
+
+def _random_model(rng, d=5, depth=4, n=64):
+    X = rng.normal(size=(n, d))
+    y = np.sin(X.sum(axis=1, keepdims=True))
+    k = OAKKernel.create(num_dims=d, max_interaction_depth=depth,
+                         lengthscale_bounds=[1e-3, 1e3])
+    return GPR.create(X, y, k, noise_variance=0.1)
+
+
+def test_high_order_sobol_matches_naive(rng):
+    """Depth-4 model: orders 3-4 go through the batched matmul ladder; they
+    must match the direct per-component Hadamard computation."""
+    m = _random_model(rng, d=5, depth=4)
+    tuples, vals = sb.compute_sobol_oak(m)
+    naive_tuples, naive_vals = _naive_component_sobol(m, 4)
+    assert [tuple(t) for t in tuples] == [tuple(t) for t in naive_tuples]
+    np.testing.assert_allclose(vals, naive_vals, rtol=1e-6, atol=1e-12)
+
+
+def test_ladder_chunked_fallback(rng, monkeypatch):
+    """With the ladder memory cap forced to zero, higher orders fall back to
+    the chunked gather-product map — values must be identical."""
+    monkeypatch.setattr(sb, "_LADDER_BYTES_CAP", 1)
+    m = _random_model(rng, d=6, depth=4, n=48)
+    tuples, vals = sb.compute_sobol_oak(m)
+    _, naive_vals = _naive_component_sobol(m, 4)
+    np.testing.assert_allclose(vals, naive_vals, rtol=1e-6, atol=1e-12)
+
+
+def test_nonfactor_routing_all_orders_ladder(rng):
+    """A Gaussian-measure dim with a tiny lengthscale disables the factor
+    route entirely (quadrature nodes too sparse), sending ALL orders through
+    the ladder — including orders 1-2."""
+    n, d = 48, 3
+    X = rng.normal(size=(n, d))
+    y = np.sin(X.sum(axis=1, keepdims=True))
+    k = OAKKernel.create(num_dims=d, max_interaction_depth=3)
+    # force one dim's lengthscale tiny: raw param for softplus ~ log(expm1(l))
+    import dataclasses as dc  # noqa: F401
+    ks = list(k.kernels)
+    small = ks[0].replace(lengthscale=ks[0].lengthscale.replace(
+        raw=jnp.asarray(np.log(np.expm1(0.05)))))
+    k = k.replace(kernels=tuple([small] + ks[1:]))
+    m = GPR.create(X, y, k, noise_variance=0.1)
+    assert not all(sb._usable_factor(kk) for kk in m.kernel.kernels)
+    tuples, vals = sb.compute_sobol_oak(m)
+    _, naive_vals = _naive_component_sobol(m, 3)
+    np.testing.assert_allclose(vals, naive_vals, rtol=1e-6, atol=1e-12)

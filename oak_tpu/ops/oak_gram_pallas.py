@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel for the OAK gram matrix (continuous dims).
+"""Fused Pallas TPU kernel for the OAK gram matrix (mixed-type models).
 
 The OAK hot loop (SURVEY §3.2) evaluates, for inputs X [N, D], X2 [M, D]:
 
@@ -33,7 +33,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..measures import GaussianMeasure
 from ..ops.newton_girard import newton_girard
 
 TILE_N = 256
@@ -47,19 +46,34 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------------------- #
 # Kernel body
 # --------------------------------------------------------------------------- #
-def _gram_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, out_ref,
-                 *, depth: int, num_dims: int):
+def _gram_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, *rest,
+                 depth: int, num_dims: int, num_extra: int):
+    """rest = (extra_ref, out_ref) when num_extra > 0 else (out_ref,).
+    ``extra_ref`` carries precomputed [E, TN, TM] gram tiles for dims whose
+    1-D kernel is not an RBF form (binary / categorical lookups) — they join
+    the power-sum accumulation so the Newton-Girard combination still fuses
+    into one pass (reference hot loop oak_kernel.py:251-278)."""
+    if num_extra:
+        extra_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     P = depth
     s = [None] * P
-    for d in range(num_dims):
-        du = u1_ref[d, :][:, None] - u2_ref[d, :][None, :]
-        g = bvar_ref[0, d] * jnp.exp(-0.5 * du * du) \
-            - c1_ref[d, :][:, None] * c2_ref[d, :][None, :]
+
+    def accumulate(g):
         gp = g
         for p in range(P):
             s[p] = gp if s[p] is None else s[p] + gp
             if p + 1 < P:
                 gp = gp * g
+
+    for d in range(num_dims):
+        du = u1_ref[d, :][:, None] - u2_ref[d, :][None, :]
+        g = bvar_ref[0, d] * jnp.exp(-0.5 * du * du) \
+            - c1_ref[d, :][:, None] * c2_ref[d, :][None, :]
+        accumulate(g)
+    for e in range(num_extra):
+        accumulate(extra_ref[e, :, :])
 
     ones = jnp.ones_like(out_ref[:])
     acc = sig_ref[0, 0] * ones
@@ -76,41 +90,52 @@ def _gram_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, out_ref,
     out_ref[:] = acc
 
 
-def _pallas_gram(u1, u2, c1, c2, bvar, sig2, depth: int) -> jnp.ndarray:
-    """u1/c1: [D, Np]; u2/c2: [D, Mp]; bvar: [1, D]; sig2: [1, P+1].
+def _pallas_gram(u1, u2, c1, c2, extra, bvar, sig2, depth: int) -> jnp.ndarray:
+    """u1/c1: [D, Np]; u2/c2: [D, Mp]; extra: [E, Np, Mp] precomputed grams
+    for non-RBF dims (E may be 0); bvar: [1, D]; sig2: [1, P+1].
     Np, Mp must be multiples of the tile sizes. Returns [Np, Mp] f32."""
     D, Np = u1.shape
     Mp = u2.shape[1]
+    E = extra.shape[0]
     grid = (Np // TILE_N, Mp // TILE_M)
-    kernel = functools.partial(_gram_kernel, depth=depth, num_dims=D)
+    kernel = functools.partial(_gram_kernel, depth=depth, num_dims=D,
+                               num_extra=E)
+    in_specs = [
+        pl.BlockSpec((1, depth + 1), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, D), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((D, TILE_N), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, TILE_M), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, TILE_N), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, TILE_M), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [sig2, bvar, u1, u2, c1, c2]
+    if E:
+        in_specs.append(pl.BlockSpec((E, TILE_N, TILE_M),
+                                     lambda i, j: (0, i, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(extra)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Np, Mp), jnp.float32),
         grid_spec=pl.GridSpec(
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, depth + 1), lambda i, j: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, D), lambda i, j: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((D, TILE_N), lambda i, j: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((D, TILE_M), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((D, TILE_N), lambda i, j: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((D, TILE_M), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((TILE_N, TILE_M), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(grid[0]) * int(grid[1]) * TILE_N * TILE_M * (6 * D + 3 * depth * depth),
-            bytes_accessed=4 * (Np * D * 2 + Mp * D * 2 + Np * Mp),
+            flops=int(grid[0]) * int(grid[1]) * TILE_N * TILE_M
+            * (6 * D + 3 * E + 3 * depth * depth),
+            bytes_accessed=4 * (Np * D * 2 + Mp * D * 2 + (E + 1) * Np * Mp),
             transcendentals=Np * Mp * D,
         ),
-    )(sig2, bvar, u1, u2, c1, c2)
+    )(*operands)
 
 
 # --------------------------------------------------------------------------- #
@@ -263,29 +288,55 @@ def _pallas_gram_bwd(u1, u2, c1, c2, bvar, sig2, gbar, depth: int):
 # Prep + XLA reference + custom VJP wrapper
 # --------------------------------------------------------------------------- #
 def _prep(oak, X, X2):
-    """Prescaled kernel inputs from an all-continuous-Gaussian OAKKernel."""
+    """Prescaled kernel inputs from an OAKKernel.
+
+    Every RBF-form dim (OrthogonalRBF against ANY measure, or the
+    unconstrained plain RBF) reduces to the same kernel-body shape
+    g = b exp(-0.5 (u - u')^2) - c c' — the measure only changes the
+    prescaled downdate vector c = cov_X_s(x)/sqrt(var_s), computed here in
+    XLA with the per-measure closed forms (ortho_rbf.cov_x_s/var_s;
+    reference ortho_rbf_kernel.py:47-152). The unconstrained variant is
+    c = 0. Non-RBF dims (binary/categorical table lookups) are evaluated in
+    XLA and returned as ``extras`` [E, N, M] gram slices streamed into the
+    fused kernel's power-sum accumulation.
+    """
+    from ..kernels import ortho_rbf
+    from ..kernels.oak_kernel import UnconstrainedRBF, kernel_K
+    from ..kernels.ortho_rbf import OrthogonalRBF
+
     dtype = jnp.float32
-    dims = [k.active_dim for k in oak.kernels]
-    ls = jnp.stack([k.lengthscale.value for k in oak.kernels]).astype(dtype)
-    bvar = jnp.stack([k.variance.value.reshape(()) for k in oak.kernels]).astype(dtype)
-    mu = jnp.stack([k.measure.mu for k in oak.kernels]).astype(dtype)
-    var = jnp.stack([k.measure.var for k in oak.kernels]).astype(dtype)
+    us1, us2, cs1, cs2, bvars, extras = [], [], [], [], [], []
+    for k in oak.kernels:
+        col1 = X[:, k.active_dim].astype(dtype)
+        col2 = X2[:, k.active_dim].astype(dtype)
+        if isinstance(k, OrthogonalRBF):
+            l = k.lengthscale.value.astype(dtype)
+            rs = jax.lax.rsqrt(ortho_rbf.var_s(k).astype(dtype))
+            us1.append(col1 / l)
+            us2.append(col2 / l)
+            cs1.append(ortho_rbf.cov_x_s(k, col1).astype(dtype) * rs)
+            cs2.append(ortho_rbf.cov_x_s(k, col2).astype(dtype) * rs)
+            bvars.append(k.variance.value.reshape(()).astype(dtype))
+        elif isinstance(k, UnconstrainedRBF):
+            l = k.lengthscale.value.astype(dtype)
+            us1.append(col1 / l)
+            us2.append(col2 / l)
+            cs1.append(jnp.zeros_like(col1))
+            cs2.append(jnp.zeros_like(col2))
+            bvars.append(k.variance.value.reshape(()).astype(dtype))
+        else:
+            extras.append(kernel_K(k, col1, col2).astype(dtype))
 
-    Xd = X[:, jnp.asarray(dims)].astype(dtype)  # [N, D]
-    X2d = X2[:, jnp.asarray(dims)].astype(dtype)
-
-    t = ls * ls + var
-    var_s = bvar * ls / jnp.sqrt(ls * ls + 2.0 * var)  # [D]
-
-    def cov(Z):
-        return (bvar * ls / jnp.sqrt(t))[None, :] * jnp.exp(
-            -0.5 * (Z - mu[None, :]) ** 2 / t[None, :]
-        )
-
-    u1 = (Xd / ls[None, :]).T  # [D, N]
-    u2 = (X2d / ls[None, :]).T
-    c1 = (cov(Xd) / jnp.sqrt(var_s)[None, :]).T
-    c2 = (cov(X2d) / jnp.sqrt(var_s)[None, :]).T
+    if us1:
+        u1, u2 = jnp.stack(us1), jnp.stack(us2)
+        c1, c2 = jnp.stack(cs1), jnp.stack(cs2)
+        bvar = jnp.stack(bvars)
+    else:
+        u1 = jnp.zeros((0, X.shape[0]), dtype)
+        u2 = jnp.zeros((0, X2.shape[0]), dtype)
+        c1, c2, bvar = u1, u2, jnp.zeros((0,), dtype)
+    extra = (jnp.stack(extras) if extras
+             else jnp.zeros((0, X.shape[0], X2.shape[0]), dtype))
 
     if oak.share_var_across_orders:
         sig2 = jnp.stack([v.value.reshape(()) for v in oak.variances]).astype(dtype)
@@ -294,16 +345,18 @@ def _prep(oak, X, X2):
             oak.variances[0].value.reshape(1).astype(dtype),
             jnp.ones((oak.max_interaction_depth,), dtype),
         ])
-    return u1, u2, c1, c2, bvar, sig2
+    return u1, u2, c1, c2, extra, bvar, sig2
 
 
-def _xla_gram_from_prep(u1, u2, c1, c2, bvar, sig2, depth: int) -> jnp.ndarray:
+def _xla_gram_from_prep(u1, u2, c1, c2, extra, bvar, sig2, depth: int) -> jnp.ndarray:
     """Straight-XLA reference of the same computation (backward + fallback)."""
     grams = []
     for d in range(u1.shape[0]):
         du = u1[d, :, None] - u2[d, None, :]
         grams.append(bvar[0, d] * jnp.exp(-0.5 * du * du)
                      - c1[d, :, None] * c2[d, None, :])
+    for e_ in range(extra.shape[0]):
+        grams.append(extra[e_])
     e = newton_girard(grams, depth)
     out = sig2[0, 0] * e[0]
     for n in range(1, depth + 1):
@@ -311,13 +364,14 @@ def _xla_gram_from_prep(u1, u2, c1, c2, bvar, sig2, depth: int) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _gram_op(u1, u2, c1, c2, bvar, sig2, depth):
-    return _pallas_gram(u1, u2, c1, c2, bvar, sig2, depth)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _gram_op(u1, u2, c1, c2, extra, bvar, sig2, depth):
+    return _pallas_gram(u1, u2, c1, c2, extra, bvar, sig2, depth)
 
 
-def _gram_fwd(u1, u2, c1, c2, bvar, sig2, depth):
-    return _pallas_gram(u1, u2, c1, c2, bvar, sig2, depth), (u1, u2, c1, c2, bvar, sig2)
+def _gram_fwd(u1, u2, c1, c2, extra, bvar, sig2, depth):
+    return (_pallas_gram(u1, u2, c1, c2, extra, bvar, sig2, depth),
+            (u1, u2, c1, c2, extra, bvar, sig2))
 
 
 # Backward implementation selector: "xla" (autodiff of the reference
@@ -331,11 +385,16 @@ BACKWARD = "xla"
 
 
 def _gram_bwd(depth, res, g):
-    u1, u2, c1, c2, bvar, sig2 = res
-    if BACKWARD == "pallas":
-        return _pallas_gram_bwd(u1, u2, c1, c2, bvar, sig2, g, depth)
+    u1, u2, c1, c2, extra, bvar, sig2 = res
+    # the handwritten Pallas backward covers the all-RBF case only; with
+    # extra (discrete-dim) grams present the XLA recompute vjp handles
+    # everything, including d/d extra
+    if BACKWARD == "pallas" and extra.shape[0] == 0:
+        du1, du2, dc1, dc2, db, ds2 = _pallas_gram_bwd(
+            u1, u2, c1, c2, bvar, sig2, g, depth)
+        return du1, du2, dc1, dc2, jnp.zeros_like(extra), db, ds2
     _, vjp = jax.vjp(lambda *a: _xla_gram_from_prep(*a, depth), u1, u2, c1, c2,
-                     bvar, sig2)
+                     extra, bvar, sig2)
     return vjp(g)
 
 
@@ -343,15 +402,24 @@ _gram_op.defvjp(_gram_fwd, _gram_bwd)
 
 
 def supports_pallas(oak) -> bool:
-    """Structure check: every constituent kernel is an OrthogonalRBF against a
-    Gaussian measure (the post-flow continuous case, e.g. all UCI regression
-    configs)."""
+    """Structure check: at least one RBF-form dim (any measure — Gaussian,
+    uniform, empirical, MOG — or the unconstrained variant), and every
+    remaining dim a binary/categorical kernel handled via the extra-grams
+    input. All UCI regression AND classification/mixed configs qualify;
+    only an all-discrete model falls back to the per-dim XLA path."""
+    from ..kernels.oak_kernel import UnconstrainedRBF
+    from ..kernels.ortho_binary import OrthogonalBinary
+    from ..kernels.ortho_categorical import OrthogonalCategorical
     from ..kernels.ortho_rbf import OrthogonalRBF
 
-    return len(oak.kernels) > 0 and all(
-        isinstance(k, OrthogonalRBF) and isinstance(k.measure, GaussianMeasure)
-        for k in oak.kernels
-    )
+    if not oak.kernels:
+        return False
+    n_rbf = sum(isinstance(k, (OrthogonalRBF, UnconstrainedRBF))
+                for k in oak.kernels)
+    known = all(isinstance(k, (OrthogonalRBF, UnconstrainedRBF,
+                               OrthogonalBinary, OrthogonalCategorical))
+                for k in oak.kernels)
+    return known and n_rbf > 0
 
 
 def oak_gram(oak, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -359,15 +427,16 @@ def oak_gram(oak, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarr
     Output dtype follows X."""
     X2_ = X if X2 is None else X2
     N, M = X.shape[0], X2_.shape[0]
-    u1, u2, c1, c2, bvar, sig2 = _prep(oak, X, X2_)
+    u1, u2, c1, c2, extra, bvar, sig2 = _prep(oak, X, X2_)
 
     Np, Mp = _round_up(N, TILE_N), _round_up(M, TILE_M)
     u1 = jnp.pad(u1, ((0, 0), (0, Np - N)))
     c1 = jnp.pad(c1, ((0, 0), (0, Np - N)))
     u2 = jnp.pad(u2, ((0, 0), (0, Mp - M)))
     c2 = jnp.pad(c2, ((0, 0), (0, Mp - M)))
+    extra = jnp.pad(extra, ((0, 0), (0, Np - N), (0, Mp - M)))
 
-    out = _gram_op(u1, u2, c1, c2, bvar[None, :], sig2[None, :],
+    out = _gram_op(u1, u2, c1, c2, extra, bvar[None, :], sig2[None, :],
                    oak.max_interaction_depth)
     return out[:N, :M].astype(X.dtype)
 
@@ -375,6 +444,7 @@ def oak_gram(oak, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarr
 def oak_gram_xla(oak, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """The same computation without Pallas (testing / CPU fallback)."""
     X2_ = X if X2 is None else X2
-    u1, u2, c1, c2, bvar, sig2 = _prep(oak, X, X2_)
-    return _xla_gram_from_prep(u1, u2, c1, c2, bvar[None, :], sig2[None, :],
+    u1, u2, c1, c2, extra, bvar, sig2 = _prep(oak, X, X2_)
+    return _xla_gram_from_prep(u1, u2, c1, c2, extra, bvar[None, :],
+                               sig2[None, :],
                                oak.max_interaction_depth).astype(X.dtype)

@@ -22,9 +22,88 @@ def _setup(rng, D=5, N=300, M=130, depth=3):
 def test_supports_detection(rng):
     oak, _, _ = _setup(rng)
     assert ogp.supports_pallas(oak)
+    # mixed binary + continuous: supported via the extra-grams input
     oak_bin = OAKKernel.create(num_dims=2, max_interaction_depth=1,
                                p0=[0.5, None], dtype=jnp.float32)
-    assert not ogp.supports_pallas(oak_bin)
+    assert ogp.supports_pallas(oak_bin)
+    # all-discrete: no RBF block to fuse -> per-dim XLA path
+    oak_all_bin = OAKKernel.create(num_dims=2, max_interaction_depth=1,
+                                   p0=[0.5, 0.3], dtype=jnp.float32)
+    assert not ogp.supports_pallas(oak_all_bin)
+
+
+def _mixed_setup(rng, N=150, M=90, depth=3):
+    """binary dim 0, categorical dim 1 (3 cats), Gaussian RBF dim 2,
+    empirical-measure RBF dim 3, MOG RBF dim 4."""
+    import numpy as np
+
+    from oak_tpu.measures import MOGMeasure
+
+    D = 5
+    X = rng.normal(size=(N, D)).astype(np.float32)
+    X2 = rng.normal(size=(M, D)).astype(np.float32)
+    X[:, 0] = rng.integers(0, 2, N)
+    X2[:, 0] = rng.integers(0, 2, M)
+    X[:, 1] = rng.integers(0, 3, N)
+    X2[:, 1] = rng.integers(0, 3, M)
+    loc = np.linspace(-2, 2, 9).reshape(-1, 1)
+    w = np.full((9, 1), 1 / 9.0)
+    mog = MOGMeasure.create(np.array([-0.5, 0.5]), np.array([0.7, 1.3]),
+                            np.array([0.4, 0.6]))
+    oak = OAKKernel.create(
+        num_dims=D, max_interaction_depth=depth,
+        p0=[0.4, None, None, None, None],
+        p=[None, np.array([0.3, 0.3, 0.4]), None, None, None],
+        empirical_locations=[None, None, None, loc, None],
+        empirical_weights=[None, None, None, w, None],
+        gmm_measures=[None, None, None, None, mog],
+        dtype=jnp.float32)
+    return oak, jnp.asarray(X), jnp.asarray(X2)
+
+
+def test_mixed_prep_matches_kernel_path(rng):
+    """Generalized prescaling (all measures + discrete extras) must agree
+    with the per-dim kernel evaluation."""
+    oak, X, X2 = _mixed_setup(rng)
+    from oak_tpu.ops.newton_girard import newton_girard
+
+    K_ref = oak._combine(newton_girard(oak.dim_grams(X, X2),
+                                       oak.max_interaction_depth))
+    K_prep = ogp.oak_gram_xla(oak, X, X2)
+    np.testing.assert_allclose(np.asarray(K_prep), np.asarray(K_ref),
+                               rtol=2e-5, atol=2e-6)
+    assert ogp.supports_pallas(oak)
+
+
+def test_mixed_pallas_interpret_matches_xla(rng):
+    oak, X, X2 = _mixed_setup(rng)
+    with pltpu.force_tpu_interpret_mode():
+        Kp = ogp.oak_gram(oak, X, X2)
+    Kx = ogp.oak_gram_xla(oak, X, X2)
+    np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kx),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_mixed_pallas_gradients_match_xla(rng):
+    """Gradients through the fused mixed path — including through the
+    binary/categorical extra grams back to their table parameters."""
+    oak, X, X2 = _mixed_setup(rng, N=64, M=40, depth=2)
+
+    def loss_p(o):
+        return ogp.oak_gram(o, X, X2).sum()
+
+    def loss_x(o):
+        return ogp.oak_gram_xla(o, X, X2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p)(oak)
+    gx = jax.grad(loss_x)(oak)
+    leaves_p = jax.tree_util.tree_leaves(gp)
+    leaves_x = jax.tree_util.tree_leaves(gx)
+    assert any(np.any(np.asarray(l) != 0) for l in leaves_p)
+    for a, b in zip(leaves_p, leaves_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
 
 
 def test_xla_prep_path_matches_kernel_path(rng):

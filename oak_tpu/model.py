@@ -311,29 +311,66 @@ class oak_model:
         return res
 
     def optimise_minibatch(self, batch_size: int = 256, steps: int = 2000,
-                           lr: float = 1e-2, seed: int = 0):
+                           lr: float = 1e-2, seed: int = 0, mesh=None):
         """Minibatched Adam on the SVGP ELBO (the scalable alternative to
         full-batch L-BFGS; only valid for SVGP models, whose bound is a sum
-        over datapoints)."""
+        over datapoints).
+
+        ``mesh``: a ``jax.sharding.Mesh`` for data-parallel training — each
+        minibatch is sharded over the mesh's data axis with parameters and
+        optimizer state replicated; XLA inserts the gradient all-reduce over
+        ICI (parallel/sharding.py). The batch stream is identical to the
+        single-device path for the same seed, so trajectories match up to
+        floating-point reduction order (tested in tests/test_sharding.py).
+        """
         if not isinstance(self.m, SVGP):
             raise ValueError("minibatch training requires likelihood='bernoulli' "
                              "or an SVGP model")
         X, Y = self._train_data
-        Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
         n = X.shape[0]
         rng = np.random.default_rng(seed)
         batch_size = min(batch_size, n)
-        idx_stream = [jnp.asarray(rng.choice(n, batch_size, replace=False))
+        if mesh is not None:
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            if batch_size % n_dev:
+                raise ValueError(f"batch_size={batch_size} must be divisible "
+                                 f"by the mesh size {n_dev}")
+        idx_stream = [rng.choice(n, batch_size, replace=False)
                       for _ in range(steps)]
 
-        def batch_fn(i):
-            return (Xj[idx_stream[i]], Yj[idx_stream[i]])
-
-        def loss(m, Xb, Yb):
-            return m.training_loss(Xb, Yb)
-
         t0 = time.time()
-        res = fit_adam(self.m, loss, steps=steps, lr=lr, batch_fn=batch_fn)
+        if mesh is not None:
+            from .optim.fit import FitResult
+            from .parallel import data_parallel_elbo_step, shard_batch
+
+            Xh, Yh = np.asarray(X), np.asarray(Y)
+            step, (vec, opt_state, unflatten) = data_parallel_elbo_step(
+                self.m, mesh, learning_rate=lr)
+            loss = np.inf
+            for idx in idx_stream:
+                Xb, Yb = shard_batch(mesh, Xh[idx], Yh[idx])
+                vec, opt_state, loss = step(vec, opt_state, Xb, Yb)
+            # pull the trained vector off the mesh before unflattening:
+            # eager ops on mesh-committed arrays compile all-device
+            # programs whose collectives can deadlock a starved host
+            # platform (and on real hardware would pointlessly re-shard)
+            import jax
+
+            vec = jnp.asarray(jax.device_get(vec))
+            res = FitResult(model=unflatten(vec), fun=float(loss),
+                            num_iters=steps, success=True)
+        else:
+            Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+            stream = [jnp.asarray(i) for i in idx_stream]
+
+            def batch_fn(i):
+                return (Xj[stream[i]], Yj[stream[i]])
+
+            def loss_fn(m, Xb, Yb):
+                return m.training_loss(Xb, Yb)
+
+            res = fit_adam(self.m, loss_fn, steps=steps, lr=lr,
+                           batch_fn=batch_fn)
         self.m = res.model
         self.timings["optimise_minibatch"] = time.time() - t0
         return res

@@ -3,6 +3,8 @@ from .sharding import (
     make_mesh,
     replicate,
     shard_batch,
+    sharded_predict_f,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_elbo_step"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_elbo_step",
+           "sharded_predict_f"]

@@ -83,3 +83,24 @@ def data_parallel_elbo_step(model, mesh: Mesh, learning_rate: float = 1e-2,
     vec0 = replicate(mesh, vec0)
     opt_state = replicate(mesh, opt.init(vec0))
     return step, (vec0, opt_state, unflatten)
+
+
+def sharded_predict_f(model, mesh: Mesh, axis: str = DATA_AXIS):
+    """Data-parallel predictive posterior: params replicated, test inputs
+    sharded over the data axis, outputs sharded the same way. Each shard's
+    Kfu rows only involve its own test points, so no cross-device
+    communication is needed beyond the initial broadcast — XLA partitions
+    the whole computation along N."""
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+    model_r = jax.device_put(model, repl)
+
+    @partial(jax.jit, in_shardings=(repl, shard), out_shardings=(shard, shard))
+    def _predict(m, X):
+        return m.predict_f(X)
+
+    def predict(X):
+        Xs = jax.device_put(jnp.asarray(X), shard)
+        return _predict(model_r, Xs)
+
+    return predict

@@ -59,3 +59,63 @@ def test_dp_works_on_subset_mesh(rng):
     step, (vec, opt_state, _) = data_parallel_elbo_step(model, mesh)
     _, _, loss = step(vec, opt_state, Xs, Ys)
     assert np.isfinite(float(loss))
+
+
+def test_sharded_predict_matches_single_device(rng):
+    from oak_tpu.parallel import sharded_predict_f
+
+    model, X, Y = _setup(rng, n=48)
+    mesh = make_mesh(8)
+    Xt = jnp.asarray(rng.normal(size=(512, 3)))
+    predict = sharded_predict_f(model, mesh)
+    mu_s, var_s = predict(Xt)
+    mu, var = model.predict_f(Xt)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var), rtol=1e-10)
+
+
+def test_minibatch_trajectory_parity_multistep(rng):
+    """End-to-end oak_model minibatch training on an 8-device mesh matches
+    the single-device trajectory over 50 steps at non-toy shapes (N=4096,
+    M=256): same seed -> identical batch stream -> same Adam trajectory up
+    to floating-point reduction order."""
+    from oak_tpu.model import oak_model
+    from oak_tpu.params import flatten_trainable
+
+    n, d = 4096, 3
+    X = rng.normal(size=(n, d))
+    logits = np.sin(X[:, 0]) + X[:, 1]
+    y = (logits + 0.3 * rng.normal(size=n) > 0).astype(np.float64)
+
+    def build():
+        oak = oak_model(max_interaction_depth=2, num_inducing=256,
+                        likelihood="bernoulli", use_normalising_flow=False)
+        oak.fit(X, y, optimise=False)
+        return oak
+
+    oak_single = build()
+    res_single = oak_single.optimise_minibatch(batch_size=256, steps=50,
+                                               lr=1e-2, seed=3)
+    oak_mesh = build()
+    mesh = make_mesh(8)
+    res_mesh = oak_mesh.optimise_minibatch(batch_size=256, steps=50,
+                                           lr=1e-2, seed=3, mesh=mesh)
+
+    v1, _ = flatten_trainable(oak_single.m)
+    v2, _ = flatten_trainable(oak_mesh.m)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(res_mesh.fun, res_single.fun, rtol=1e-6)
+
+
+def test_minibatch_mesh_batch_divisibility(rng):
+    from oak_tpu.model import oak_model
+
+    X = rng.normal(size=(64, 2))
+    y = (X[:, 0] > 0).astype(np.float64)
+    oak = oak_model(max_interaction_depth=1, num_inducing=8,
+                    likelihood="bernoulli", use_normalising_flow=False)
+    oak.fit(X, y, optimise=False)
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="divisible"):
+        oak.optimise_minibatch(batch_size=20, steps=1, mesh=mesh)

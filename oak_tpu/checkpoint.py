@@ -53,6 +53,120 @@ def load_params(template, path):
 
 
 # --------------------------------------------------------------------------- #
+# Reference-layout compat loader
+# --------------------------------------------------------------------------- #
+def reference_param_order(model):
+    """Describe the reference checkpoint's positional parameter layout for
+    ``model``: a list of slot names in the order the reference's
+    ``save_model`` writes them (/root/reference/oak/model_utils.py:44-64).
+
+    The reference saves ``[p.numpy() for p in model.(trainable_)parameters]``
+    — GPflow 2.2 enumerates parameters by tf.Module flattening: attribute
+    names sorted alphabetically at each level, list attributes in index
+    order. Consequences baked in here:
+
+    - GPR/SGPR save *trainable* parameters only; SVGP saves ALL parameters
+      (so a fixed inducing ``Z`` appears for SVGP but not for zfixed SGPR).
+    - model level: ``inducing_variable`` < ``kernel`` < ``likelihood`` <
+      ``q_mu`` < ``q_sqrt``.
+    - kernel level: ``kernels[0..D-1]`` then ``variances[0..P]``.
+    - in shared-variance mode the reference REPLACES pinned base variances
+      with plain tensors (oak_kernel.py:163-166,178,186), so they are not
+      Parameters at all and are absent from the file — EXCEPT empirical/GMM
+      RBF dims, whose pinning the reference skips.
+    - per-kernel attribute order: RBF ``lengthscales`` < ``variance``;
+      categorical ``W`` < ``kappa`` < ``variance`` ('W' sorts before
+      lowercase); binary just ``variance``.
+    """
+    from .kernels.oak_kernel import UnconstrainedRBF
+    from .kernels.ortho_binary import OrthogonalBinary
+    from .kernels.ortho_categorical import OrthogonalCategorical
+    from .kernels.ortho_rbf import OrthogonalRBF
+    from .measures import GaussianMeasure
+    from .models import SGPR, SVGP
+
+    oak = model.kernel
+    shared = oak.share_var_across_orders
+    slots = []
+    if isinstance(model, SVGP):
+        slots.append("Z")  # all-params save includes the fixed Z
+    elif isinstance(model, SGPR) and model.Z.trainable:
+        slots.append("Z")
+    for i, k in enumerate(oak.kernels):
+        if isinstance(k, (OrthogonalRBF, UnconstrainedRBF)):
+            slots.append(f"kernels[{i}].lengthscale")
+            pinned = shared and (isinstance(k, UnconstrainedRBF)
+                                 or isinstance(k.measure, GaussianMeasure))
+            if not pinned:
+                slots.append(f"kernels[{i}].variance")
+        elif isinstance(k, OrthogonalCategorical):
+            slots.append(f"kernels[{i}].W")
+            slots.append(f"kernels[{i}].kappa")
+            if not shared:
+                slots.append(f"kernels[{i}].variance")
+        elif isinstance(k, OrthogonalBinary):
+            if not shared:
+                slots.append(f"kernels[{i}].variance")
+        else:
+            raise NotImplementedError(type(k))
+    for j in range(len(oak.variances)):
+        slots.append(f"variances[{j}]")
+    if hasattr(model.likelihood, "variance"):
+        slots.append("likelihood.variance")
+    if isinstance(model, SVGP):
+        slots.append("q_mu")
+        slots.append("q_sqrt")
+    return slots
+
+
+def load_reference_npz(model, path):
+    """Load a checkpoint written by the reference's ``save_model`` (a
+    positional ``hyperparams`` object array of *constrained* values) onto an
+    identically-structured oak_tpu model; returns the new model. The caller
+    rebuilds the model shape first, exactly like the reference's consumers
+    (uci_plotting.py:163-200)."""
+    vals = list(np.load(path, allow_pickle=True)["hyperparams"])
+    slots = reference_param_order(model)
+    if len(vals) != len(slots):
+        raise ValueError(
+            f"checkpoint has {len(vals)} parameters but the model layout "
+            f"expects {len(slots)}: {slots}")
+
+    def assign(p, v):
+        v = np.asarray(v, dtype=np.asarray(p.raw).dtype)
+        return p.assign(jnp.asarray(v.reshape(np.asarray(p.raw).shape)))
+
+    new = model
+    kernels = list(new.kernel.kernels)
+    variances = list(new.kernel.variances)
+    likelihood = new.likelihood
+    updates = {}
+    for slot, v in zip(slots, vals):
+        if slot == "Z":
+            updates["Z"] = assign(new.Z, v)
+        elif slot == "q_mu":
+            updates["q_mu"] = assign(new.q_mu, v)
+        elif slot == "q_sqrt":
+            updates["q_sqrt"] = assign(new.q_sqrt, v)
+        elif slot == "likelihood.variance":
+            likelihood = likelihood.replace(
+                variance=assign(likelihood.variance, v))
+        elif slot.startswith("variances["):
+            j = int(slot[len("variances["):-1])
+            variances[j] = assign(variances[j], v)
+        elif slot.startswith("kernels["):
+            i = int(slot[len("kernels["):slot.index("]")])
+            field = slot.split(".")[1]
+            k = kernels[i]
+            kernels[i] = k.replace(**{field: assign(getattr(k, field), v)})
+        else:  # pragma: no cover
+            raise AssertionError(slot)
+    kernel = new.kernel.replace(kernels=tuple(kernels),
+                                variances=tuple(variances))
+    return new.replace(kernel=kernel, likelihood=likelihood, **updates)
+
+
+# --------------------------------------------------------------------------- #
 # Full oak_model wrapper persistence
 # --------------------------------------------------------------------------- #
 def save_oak_model(oak, path) -> None:

@@ -184,12 +184,19 @@ class OAKKernel:
                         dtype=dtype,
                     )
                 else:
+                    rbf_train_var = train_var
                     if empirical_locations[d] is not None:
                         measure = EmpiricalMeasure.create(
                             empirical_locations[d], empirical_weights[d], dtype=dtype
                         )
+                        # the reference pins base variance to 1 ONLY in the
+                        # Gaussian-measure branch (oak_kernel.py:163-166);
+                        # empirical/GMM dims keep a trainable base variance
+                        # even when variances are shared across orders
+                        rbf_train_var = True
                     elif gmm_measures[d] is not None:
                         measure = gmm_measures[d]
+                        rbf_train_var = True
                     else:
                         # delta2 = 1 prior measure variance (oak_kernel.py:84)
                         measure = GaussianMeasure.create(0.0, 1.0, dtype=dtype)
@@ -197,7 +204,7 @@ class OAKKernel:
                         measure,
                         active_dim=dim,
                         lengthscale_bounds=lengthscale_bounds,
-                        train_variance=train_var,
+                        train_variance=rbf_train_var,
                         dtype=dtype,
                     )
             kernels.append(k)

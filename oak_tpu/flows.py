@@ -91,6 +91,13 @@ class Normalizer:
         y = self.forward(x)
         return 0.5 * jnp.mean(y * y) - jnp.mean(self.forward_log_det_jacobian(x))
 
+    # reference-name aliases (normalising_flow.py:58-79 documented surface)
+    def KL_objective(self, x) -> jnp.ndarray:
+        return self.kl_objective(jnp.asarray(x))
+
+    def plot(self, x, title: str = "Normalising Flow"):
+        return plot_flow(self, x, title=title)
+
 
 def fit_normalizer(x: np.ndarray, log: bool = True, max_iters: int = 200,
                    dtype=None, optimizer: str = "lbfgs") -> Normalizer:

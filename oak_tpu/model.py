@@ -291,11 +291,17 @@ class oak_model:
         return lambda m: m.training_loss()
 
     def optimise(self, max_iters: int = 1000, compile: bool = True):
+        """``compile`` mirrors the reference's Scipy(..., compile=) tf.function
+        toggle (model_utils.py:419-425): with optimizer='scipy' it switches
+        between jitted and eager objective evaluation. The on-device
+        optimizers (lbfgs/adam) are always compiled — jit IS their execution
+        model."""
         t0 = time.time()
         self.alpha = None
         loss = self._loss_fn()
         if self.optimizer == "scipy":
-            res = fit_scipy(self.m, loss, method="BFGS", max_iters=max_iters)
+            res = fit_scipy(self.m, loss, method="BFGS", max_iters=max_iters,
+                            jit=compile)
         elif self.optimizer == "adam":
             res = fit_adam(self.m, loss, steps=max_iters)
         else:

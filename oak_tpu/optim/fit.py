@@ -38,6 +38,7 @@ class FitResult:
     num_iters: int
     success: bool
     message: str = ""
+    grad_norm: Optional[float] = None
 
 
 def _vector_loss(model, loss_fn: Callable):
@@ -50,10 +51,18 @@ def _vector_loss(model, loss_fn: Callable):
 
 
 def fit_scipy(model, loss_fn: Callable, method: str = "BFGS",
-              max_iters: int = 1000, tol: Optional[float] = None) -> FitResult:
-    """Minimize loss_fn(model) over trainable params with scipy (host loop)."""
+              max_iters: int = 1000, tol: Optional[float] = None,
+              jit: bool = True) -> FitResult:
+    """Minimize loss_fn(model) over trainable params with scipy (host loop).
+
+    ``jit=False`` evaluates the objective eagerly — the analogue of the
+    reference's ``Scipy().minimize(..., compile=False)`` (its tf.function
+    toggle, model_utils.py:419-425); useful when debugging a loss that
+    misbehaves under tracing."""
     vec0, unflatten, loss_vec = _vector_loss(model, loss_fn)
-    vg = jax.jit(jax.value_and_grad(loss_vec))
+    vg = jax.value_and_grad(loss_vec)
+    if jit:
+        vg = jax.jit(vg)
 
     def fun(x):
         v, g = vg(jnp.asarray(x, vec0.dtype))
@@ -98,8 +107,18 @@ def fit_lbfgs(model, loss_fn: Callable, max_iters: int = 500,
 
     vec, state, iters = run(vec0)
     fitted = unflatten(vec)
-    final = float(loss_vec(vec))
-    return FitResult(model=fitted, fun=final, num_iters=int(iters), success=True)
+    # value/grad at the accepted iterate live in the optimizer state —
+    # no extra (un-jitted) loss evaluation needed
+    grad = optax.tree_utils.tree_get(state, "grad")
+    value = optax.tree_utils.tree_get(state, "value")
+    gnorm = float(jnp.sqrt(jnp.sum(grad * grad)))
+    iters = int(iters)
+    converged = gnorm <= tol
+    msg = (f"gradient norm {gnorm:.3e} <= tol after {iters} iterations"
+           if converged else
+           f"stopped at max_iters={max_iters} with gradient norm {gnorm:.3e}")
+    return FitResult(model=fitted, fun=float(value), num_iters=iters,
+                     success=converged, message=msg, grad_norm=gnorm)
 
 
 def fit_adam(model, loss_fn: Callable, steps: int = 1000, lr: float = 1e-2,

@@ -112,15 +112,34 @@ def plot_single_effect(
 ) -> FigureDescription:
     matplotlib.rcParams.update({"font.size": fontsize})
     X, Y = _model_data(m, data)
-    Xi = X[:, m.kernel.kernels[i].active_dim]
+    D = m.kernel.num_dims
+    latent = i == D
+    if latent:
+        # latent-effect branch (reference plotting_utils.py:80-84): the
+        # reference sets Xi = linspace(-3, 3) with a standard-normal
+        # histogram but then still indexes kernels[i], which IndexErrors for
+        # an OAK kernel — dead code there. Here i == D plots the summed
+        # order-1 latent profile f_lat(t) = sum_d f_d(t) over the
+        # standardized scale, which is the well-defined completion of that
+        # intent for additive models.
+        Xi = np.random.default_rng(0).normal(size=1000)
+    else:
+        Xi = X[:, m.kernel.kernels[i].active_dim]
 
     if quantile_range is None:
         quantile_range = [0, 100]
-    xmin, xmax = np.percentile(Xi, (quantile_range[0], quantile_range[1]))
-    xx = np.linspace(xmin, xmax, 100)
-    mu, var = _component_posterior(m, [i], [xx])
+    if latent:
+        xx = np.linspace(-3.0, 3.0, 100)
+        mus, vars_ = zip(*(_component_posterior(m, [d], [xx])
+                           for d in range(D)))
+        mu, var = np.sum(mus, axis=0), np.sum(vars_, axis=0)
+    else:
+        xmin, xmax = np.percentile(Xi, (quantile_range[0], quantile_range[1]))
+        xx = np.linspace(xmin, xmax, 100)
+        mu, var = _component_posterior(m, [i], [xx])
     lower, upper = mu - 2 * np.sqrt(var), mu + 2 * np.sqrt(var)
 
+    plot_corrected_data = plot_corrected_data and not latent
     if plot_corrected_data:
         alpha, _ = m.posterior_stats()
         Xc = _conditioning_inputs(m)

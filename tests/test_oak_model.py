@@ -176,3 +176,61 @@ def test_export_predict_matches_predict(rng):
     p1 = np.asarray(f(X))
     p2 = oak.predict(X, clip=True)
     np.testing.assert_allclose(p1, p2, rtol=1e-8, atol=1e-10)
+
+
+def test_latent_effect_plot_branch(rng):
+    """plot_single_effect(i == D) on an SVGP: the reference's latent-effect
+    branch (plotting_utils.py:80-84) — here the summed order-1 latent
+    profile over the standardized scale; must not crash and must produce a
+    figure."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from oak_tpu.plotting import plot_single_effect
+
+    n = 60
+    X = rng.normal(size=(n, 2))
+    y = (X[:, 0] > 0).astype(float).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2, num_inducing=12,
+                    likelihood="bernoulli")
+    oak.fit(X, y, optimise=False)
+    fig = plot_single_effect(oak.m, i=2, covariate_name="latent",
+                             data=(oak.X_scaled, oak.Y_scaled))
+    assert fig is not None
+
+
+def test_normalizer_reference_aliases(rng):
+    """Normalizer.KL_objective / Normalizer.plot — the reference's exact
+    method names (normalising_flow.py:58-79)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from oak_tpu.flows import Normalizer
+
+    x = rng.gamma(2.0, 1.0, size=200)
+    nz = Normalizer.create(x, log=True)
+    import jax.numpy as jnp
+
+    kl_a = float(nz.KL_objective(x))
+    kl_b = float(nz.kl_objective(jnp.asarray(x)))
+    assert kl_a == kl_b
+    nz.plot(x)
+
+
+def test_optimise_compile_flag(rng):
+    """optimise(compile=False) with the scipy optimizer evaluates eagerly
+    (reference Scipy(compile=) semantics) and still trains."""
+    X, y = _regression_data(rng, n=40)
+    oak = oak_model(max_interaction_depth=2, optimizer="scipy")
+    oak.fit(X, y, optimise=False)
+    res = oak.optimise(max_iters=5, compile=False)
+    assert np.isfinite(res.fun)
+
+
+def test_fit_lbfgs_reports_convergence(rng):
+    from oak_tpu.optim import fit_lbfgs
+
+    X, y = _regression_data(rng, n=40)
+    oak = oak_model(max_interaction_depth=2)
+    oak.fit(X, y, optimise=False)
+    res = fit_lbfgs(oak.m, lambda m: m.training_loss(), max_iters=3)
+    assert res.num_iters == 3 and not res.success
+    assert res.grad_norm is not None and "max_iters" in res.message

@@ -129,6 +129,67 @@ def run_bench(args):
     print(json.dumps(result))
 
 
+def run_profile(args):
+    """Phase breakdown of the ELBO training step at bench shapes (the
+    VERDICT-r1 profiling ask). Isolated-call numbers carry ~1.2 ms of fixed
+    per-dispatch overhead (unflatten scatter + relay latency; the dispatch
+    floor itself is ~0.02 ms) — within the single jitted step those phases
+    fuse, so the deltas, not the absolute isolated times, are the signal."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from oak_tpu.ops import oak_gram_pallas as ogp
+    from oak_tpu.ops.psd import safe_cholesky
+    from oak_tpu.params import flatten_trainable
+
+    model, X, Y = _build_model(args)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    Zj = jnp.asarray(model.Z.value)
+    vec0, unflatten = flatten_trainable(model)
+
+    def timeit(f, *a, reps=30):
+        o = f(*a)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = f(*a)
+        jax.block_until_ready(o)
+        return round((time.perf_counter() - t0) / reps * 1000, 3)
+
+    opt = optax.adam(1e-2)
+    st0 = opt.init(vec0)
+
+    @jax.jit
+    def step(v, st):
+        l, g = jax.value_and_grad(
+            lambda u: unflatten(u).training_loss(Xj, Yj))(v)
+        up, st = opt.update(g, st)
+        return optax.apply_updates(v, up), st, l
+
+    out = {
+        "metric": "elbo_step_profile_ms",
+        "backend": jax.default_backend(),
+        "config": f"N={args.n} D={args.d} M={args.m} depth={args.depth}",
+        "dispatch_floor": timeit(jax.jit(lambda x: x + 1), jnp.ones(())),
+        "kuf_gram_fwd_pallas": timeit(
+            jax.jit(lambda v: ogp.oak_gram(unflatten(v).kernel, Xj, Zj)), vec0),
+        "kuf_gram_fwd_xla": timeit(
+            jax.jit(lambda v: ogp.oak_gram_xla(unflatten(v).kernel, Xj, Zj)), vec0),
+        "kuf_gram_fwd_bwd": timeit(
+            jax.jit(lambda v: jax.grad(
+                lambda u: ogp.oak_gram(unflatten(u).kernel, Xj, Zj).sum())(v)),
+            vec0),
+        "kuu_gram_cholesky": timeit(
+            jax.jit(lambda v: safe_cholesky(unflatten(v).kernel.K(Zj))), vec0),
+        "k_diag": timeit(jax.jit(lambda v: unflatten(v).kernel.K_diag(Xj)), vec0),
+        "elbo_fwd": timeit(
+            jax.jit(lambda v: unflatten(v).training_loss(Xj, Yj)), vec0),
+        "full_step": timeit(lambda v: step(v, st0)[2], vec0),
+    }
+    print(json.dumps(out))
+
+
 def run_sobol_naive(args):
     """Reference-style Sobol: a Python loop over every component with numpy
     Hadamard products and quadratic forms — the shape of the reference's
@@ -297,6 +358,8 @@ def main():
     ap.add_argument("--sobol-naive", action="store_true",
                     help="time a reference-style per-component numpy Sobol "
                          "loop (the GPflow-CPU stand-in baseline)")
+    ap.add_argument("--profile", action="store_true",
+                    help="phase breakdown of the ELBO step (JSON line)")
     ap.add_argument("--verify", action="store_true",
                     help="run the on-hardware parity gates instead of timing")
     ap.add_argument("--verify-leg", choices=["cpu64", "tpu32"], default=None,
@@ -320,6 +383,9 @@ def main():
         return
     if args.sobol_naive:
         run_sobol_naive(args)
+        return
+    if args.profile:
+        run_profile(args)
         return
     run_bench(args)
 

@@ -32,28 +32,36 @@ def main():
     # sonar has 60 features: truncate interactions (reference :95-98)
     depth = 4 if args.dataset_name != "sonar" else 2
 
+    from oak_tpu.experiment import ExperimentConfig, FitConfig, ModelConfig
+
+    cfg = ExperimentConfig(
+        dataset_name=args.dataset_name,
+        task="classification",
+        k_folds=args.k,
+        model=ModelConfig(max_interaction_depth=depth, num_inducing=200,
+                          likelihood="bernoulli"),
+        fit=FitConfig(max_iters=args.max_iters),
+    )
     out_dir = Path(__file__).parent / "outputs" / args.dataset_name
     out_dir.mkdir(parents=True, exist_ok=True)
+    cfg.save(out_dir / "config.json")
 
-    np.random.seed(4)
+    np.random.seed(cfg.seed)
     perm = np.random.permutation(n)
     X, y = X[perm], y[perm]
 
     from sklearn.metrics import roc_auc_score
     from sklearn.model_selection import KFold
 
-    from oak_tpu import oak_model
     from oak_tpu.models import inv_logit
 
-    kf = KFold(n_splits=args.k)
+    kf = KFold(n_splits=cfg.k_folds)
     for fold, (train_index, test_index) in enumerate(kf.split(X)):
         X_train, X_test = X[train_index], X[test_index]
         y_train, y_test = y[train_index], y[test_index]
 
         t0 = time.time()
-        oak = oak_model(max_interaction_depth=depth, num_inducing=200,
-                        likelihood="bernoulli")
-        oak.fit(X_train, y_train, optimise=True)
+        oak = cfg.run_fold(X_train, y_train)
         train_time = time.time() - t0
 
         prob = oak.predict_proba(X_test, clip=True)

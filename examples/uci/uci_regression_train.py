@@ -41,26 +41,33 @@ def main():
     n, d = X.shape
     depth = args.depth if args.depth is not None else d
 
+    from oak_tpu.experiment import ExperimentConfig, FitConfig, ModelConfig
+
+    cfg = ExperimentConfig(
+        dataset_name=args.dataset_name,
+        task="regression",
+        k_folds=args.k,
+        model=ModelConfig(max_interaction_depth=depth, num_inducing=500,
+                          sparse=n > 1000),
+        fit=FitConfig(max_iters=args.max_iters),
+    )
     out_dir = Path(__file__).parent / "outputs" / args.dataset_name
     out_dir.mkdir(parents=True, exist_ok=True)
+    cfg.save(out_dir / "config.json")
 
-    np.random.seed(4)
+    np.random.seed(cfg.seed)
     perm = np.random.permutation(n)
     X, y = X[perm], y[perm]
 
-    from oak_tpu import oak_model
     from sklearn.model_selection import KFold
 
-    kf = KFold(n_splits=args.k)
+    kf = KFold(n_splits=cfg.k_folds)
     for fold, (train_index, test_index) in enumerate(kf.split(X)):
         X_train, X_test = X[train_index], X[test_index]
         y_train, y_test = y[train_index], y[test_index]
 
         t0 = time.time()
-        oak = oak_model(max_interaction_depth=depth, num_inducing=500,
-                        sparse=X_train.shape[0] > 1000)
-        oak.fit(X_train, y_train, optimise=False)
-        oak.optimise(max_iters=args.max_iters)
+        oak = cfg.run_fold(X_train, y_train)
         train_time = time.time() - t0
 
         y_pred = oak.predict(X_test, clip=True)

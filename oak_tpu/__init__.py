@@ -34,6 +34,13 @@ from .sobol import (
     get_prediction_component,
     normalize_sobol,
 )
-from .checkpoint import load_oak_model, load_params, save_oak_model, save_params
+from .checkpoint import (
+    load_oak_model,
+    load_params,
+    load_reference_npz,
+    save_oak_model,
+    save_params,
+)
+from .experiment import ExperimentConfig, FitConfig, ModelConfig
 
 __version__ = "0.1.0"

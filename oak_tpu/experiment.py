@@ -1,0 +1,107 @@
+"""Experiment configuration: one dataclass tree (model + fit + experiment)
+serialized as JSON alongside outputs and checkpoints.
+
+The reference has no config system — two argparse flags per script and magic
+numbers inline (SURVEY §5: N>1000 sparse threshold model_utils.py:374,
+num_inducing defaults, seeds 4/44, likelihood var 0.01, Gamma(1,0.2)). This
+module gives those knobs one typed home while keeping the ``oak_model``
+kwarg surface as the public API: ``ModelConfig`` mirrors the constructor
+kwargs 1:1 (model_utils.py:195-208), ``FitConfig`` the optimise/minibatch
+options, ``ExperimentConfig`` the script-level choices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Constructor kwargs of ``oak_model`` (reference model_utils.py:195-208)."""
+
+    max_interaction_depth: int = 2
+    num_inducing: int = 200
+    lengthscale_bounds: Optional[Sequence[float]] = (1e-3, 1e3)
+    binary_feature: Optional[List[int]] = None
+    categorical_feature: Optional[List[int]] = None
+    empirical_measure: Optional[List[int]] = None
+    use_sparsity_prior: bool = True
+    gmm_measure: Optional[List[int]] = None
+    sparse: bool = False
+    use_normalising_flow: bool = True
+    share_var_across_orders: bool = True
+    likelihood: str = "gaussian"
+    optimizer: str = "lbfgs"
+
+    def build(self):
+        from .model import oak_model
+
+        return oak_model(**dataclasses.asdict(self))
+
+
+@dataclasses.dataclass
+class FitConfig:
+    optimise: bool = True
+    max_iters: int = 500
+    compile: bool = True
+    # minibatch (SVGP) options; used when minibatch=True
+    minibatch: bool = False
+    batch_size: int = 256
+    steps: int = 2000
+    learning_rate: float = 1e-2
+    seed: int = 0
+
+    def run(self, oak, X, Y, mesh=None):
+        """fit + optimise an oak_model according to this config."""
+        oak.fit(X, Y, optimise=False)
+        if self.minibatch:
+            oak.optimise_minibatch(batch_size=self.batch_size, steps=self.steps,
+                                   lr=self.learning_rate, seed=self.seed,
+                                   mesh=mesh)
+        elif self.optimise:
+            oak.optimise(max_iters=self.max_iters, compile=self.compile)
+        return oak
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    """Script-level experiment description (dataset, CV, outputs)."""
+
+    dataset_name: str = "autoMPG"
+    task: str = "regression"  # or "classification"
+    k_folds: int = 5
+    seed: int = 4  # the reference's data-shuffle seed (uci_*_train.py)
+    output_dir: Optional[str] = None
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    fit: FitConfig = dataclasses.field(default_factory=FitConfig)
+
+    # ------------------------------------------------------------------ #
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=list)
+
+    @classmethod
+    def from_json(cls, text: str) -> "ExperimentConfig":
+        raw = json.loads(text)
+        model = ModelConfig(**raw.pop("model", {}))
+        fit = FitConfig(**raw.pop("fit", {}))
+        return cls(model=model, fit=fit, **raw)
+
+    def save(self, path) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(self.to_json())
+
+    @classmethod
+    def load(cls, path) -> "ExperimentConfig":
+        return cls.from_json(Path(path).read_text())
+
+    # ------------------------------------------------------------------ #
+    def build_model(self):
+        return self.model.build()
+
+    def run_fold(self, X_train, y_train, mesh=None):
+        """Build + train one fold's model."""
+        return self.fit.run(self.build_model(), X_train, y_train, mesh=mesh)

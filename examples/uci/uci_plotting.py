@@ -28,12 +28,19 @@ def main():
     ap.add_argument("--dataset_name", default="autoMPG")
     ap.add_argument("--fold", type=int, default=0)
     ap.add_argument("--top_n", type=int, default=5)
+    ap.add_argument("--reference_npz", default=None,
+                    help="a checkpoint written by the REFERENCE's save_model "
+                         "(positional hyperparams layout): rebuild this "
+                         "fold's model shape, then overwrite its parameters "
+                         "from the reference file (for output diffing)")
     args = ap.parse_args()
 
-    from oak_tpu import oak_model
+    from oak_tpu import load_reference_npz, oak_model
 
     out_dir = Path(__file__).parent / "outputs" / args.dataset_name
     oak = oak_model.load(out_dir / f"model_oak_{args.fold}.npz")
+    if args.reference_npz:
+        oak.m = load_reference_npz(oak.m, args.reference_npz)
     names = COVARIATE_NAMES.get(args.dataset_name)
     figs = oak.plot(
         X_columns=names,

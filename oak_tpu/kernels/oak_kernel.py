@@ -226,7 +226,15 @@ class OAKKernel:
         )
 
     # ------------------------------------------------------------------ #
+    def _max_active_dim(self) -> int:
+        return max(k.active_dim for k in self.kernels) + 1
+
     def dim_grams(self, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> List[jnp.ndarray]:
+        from ..utils.diagnostics import check_matrix_input
+
+        check_matrix_input(X, self._max_active_dim(), "X")
+        if X2 is not None:
+            check_matrix_input(X2, self._max_active_dim(), "X2")
         mats = []
         for k in self.kernels:
             x = X[:, k.active_dim]
@@ -235,6 +243,9 @@ class OAKKernel:
         return mats
 
     def dim_diags(self, X: jnp.ndarray) -> List[jnp.ndarray]:
+        from ..utils.diagnostics import check_matrix_input
+
+        check_matrix_input(X, self._max_active_dim(), "X")
         return [kernel_K_diag(k, X[:, k.active_dim]) for k in self.kernels]
 
     def _combine(self, terms: List[jnp.ndarray]) -> jnp.ndarray:
@@ -251,7 +262,11 @@ class OAKKernel:
     def K(self, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         from ..config import pallas_gram_enabled
         from ..ops import oak_gram_pallas as ogp
+        from ..utils.diagnostics import check_matrix_input
 
+        check_matrix_input(X, self._max_active_dim(), "X")
+        if X2 is not None:
+            check_matrix_input(X2, self._max_active_dim(), "X2")
         if (pallas_gram_enabled() and jnp.asarray(X).dtype == jnp.float32
                 and ogp.supports_pallas(self)):
             return ogp.oak_gram(self, X, X2)

@@ -42,6 +42,42 @@ def finite_or_debug(x: jnp.ndarray, name: str = "value") -> jnp.ndarray:
     return x
 
 
+def checked(fn, errors=None):
+    """checkify-instrumented version of a jittable function: NaN/inf produced
+    anywhere inside (plus any explicit ``checkify.check`` calls) raise a
+    JaxRuntimeError on the host instead of propagating silently — the
+    in-kernel runtime-gate equivalent of the reference's
+    ``tf.debugging`` asserts (SURVEY §2.4). Wrap the *jitted* function:
+
+        loss = checked(jax.jit(model.training_loss))
+    """
+    from jax.experimental import checkify
+
+    if errors is None:
+        errors = checkify.float_checks | checkify.user_checks
+    cfn = checkify.checkify(fn, errors=errors)
+
+    def wrapper(*args, **kwargs):
+        err, out = cfn(*args, **kwargs)
+        err.throw()
+        return out
+
+    return wrapper
+
+
+def check_matrix_input(X, num_dims: int, name: str = "X") -> None:
+    """Trace-time shape gate for kernel-entry inputs: 2-D with enough columns
+    for every active dim (zero runtime cost — shapes are static under jit).
+    Replaces the reference's eager ``tf.debugging.assert_shapes``."""
+    shape = jnp.shape(X)
+    if len(shape) != 2:
+        raise ValueError(f"{name} must be 2-D [N, D], got shape {shape}")
+    if shape[1] < num_dims:
+        raise ValueError(
+            f"{name} has {shape[1]} columns but the kernel's active dims "
+            f"need at least {num_dims}")
+
+
 def cholesky_health(K: jnp.ndarray) -> dict:
     """Host-side conditioning report for a PSD matrix."""
     K = np.asarray(K)

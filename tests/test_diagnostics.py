@@ -37,3 +37,32 @@ def test_timer_records():
     with t("phase"):
         jnp.ones(10).sum()
     assert t.results["phase"] >= 0.0
+
+
+def test_checked_raises_on_nan():
+    """checkify gate: NaN produced inside a jitted function raises on host."""
+    import jax
+    import jax.numpy as jnp
+
+    from oak_tpu.utils.diagnostics import checked
+
+    f = checked(jax.jit(lambda x: jnp.log(x)))
+    assert float(f(jnp.asarray(1.0))) == 0.0
+    with pytest.raises(Exception, match="nan"):
+        f(jnp.asarray(-1.0))
+
+
+def test_kernel_shape_gates(rng):
+    """OAKKernel.K/K_diag reject malformed inputs at trace time with a clear
+    message (the reference's tf.debugging.assert_shapes equivalent)."""
+    import jax.numpy as jnp
+
+    from oak_tpu.kernels import OAKKernel
+
+    k = OAKKernel.create(num_dims=3, max_interaction_depth=2)
+    X1 = jnp.asarray(rng.normal(size=(10,)))
+    with pytest.raises(ValueError, match="2-D"):
+        k.K(X1)
+    Xnarrow = jnp.asarray(rng.normal(size=(10, 2)))
+    with pytest.raises(ValueError, match="columns"):
+        k.K_diag(Xnarrow)

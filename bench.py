@@ -92,12 +92,21 @@ def run_bench(args):
         trained = unflatten(vec)
 
     # FULL-depth Sobol: every component up to the model's interaction depth
-    # (D=32, depth 3 -> 5,456 components) + per-order totals (warmup, then time)
-    tuples, vals = sb.compute_sobol_oak(trained)
-    totals = sb.compute_sobol_by_order(trained)
+    # (D=32, depth 3 -> 5,488 components) + per-order totals (warmup, then
+    # time). Totals come from host-side aggregation of the component values —
+    # a separate compute_sobol_by_order device call would pay the relay's
+    # ~30 ms model-pytree dispatch latency a second time for numbers already
+    # in hand (that API exists for the no-enumeration large-D case).
+    def full_sobol():
+        tuples, vals = sb.compute_sobol_oak(trained)
+        totals = np.zeros(args.depth)
+        for tup, v in zip(tuples, vals):
+            totals[len(tup) - 1] += v
+        return tuples, vals, totals
+
+    tuples, vals, totals = full_sobol()
     t1 = time.perf_counter()
-    tuples, vals = sb.compute_sobol_oak(trained)
-    totals = sb.compute_sobol_by_order(trained)
+    tuples, vals, totals = full_sobol()
     sobol_secs = time.perf_counter() - t1
 
     backend = jax.default_backend()

@@ -280,14 +280,13 @@ def _order_scales(oak: OAKKernel, orders: jnp.ndarray, dtype) -> jnp.ndarray:
     return (vs ** 2)[orders]
 
 
-def _host_param_value(p) -> np.ndarray:
-    """Constrained value computed with numpy on the host — evaluating
-    ``p.value`` eagerly dispatches several tiny device ops per parameter
-    (~70 ms each through the TPU tunnel; routing over 32 dims cost 2.4 s)."""
+def _host_constrained(raw: np.ndarray, b) -> np.ndarray:
+    """Constrained value computed with numpy from a host-resident raw value —
+    evaluating ``p.value`` eagerly dispatches several tiny device ops per
+    parameter (~70 ms each through the TPU tunnel; routing over 32 dims cost
+    2.4 s)."""
     from .bijectors import Exp, Sigmoid, Softplus
 
-    raw = np.asarray(p.raw)
-    b = p.bij
     if isinstance(b, Softplus):
         return np.logaddexp(0.0, raw) + b.low
     if isinstance(b, Sigmoid):
@@ -297,9 +296,31 @@ def _host_param_value(p) -> np.ndarray:
     return raw
 
 
+def _host_param_value(p) -> np.ndarray:
+    return _host_constrained(np.asarray(p.raw), p.bij)
+
+
+def _factor_routing(oak) -> Tuple[bool, ...]:
+    """Per-dim factor-path usability: accurate unless a Gaussian-measure RBF
+    lengthscale is far below the quadrature node spacing. All the needed
+    device values are pulled in ONE batched device_get — per-parameter
+    transfers cost ~1 ms each through the TPU relay (32 dims made this
+    routing alone cost more than the whole Sobol computation)."""
+    gauss = [(i, k) for i, k in enumerate(oak.kernels)
+             if isinstance(k, OrthogonalRBF)
+             and isinstance(k.measure, GaussianMeasure)]
+    routing = [True] * len(oak.kernels)
+    if not gauss:
+        return tuple(routing)
+    host = jax.device_get([(k.lengthscale.raw, k.measure.var) for _, k in gauss])
+    for (i, k), (raw, var) in zip(gauss, host):
+        l = float(_host_constrained(np.asarray(raw), k.lengthscale.bij))
+        routing[i] = l > 0.5 * float(np.sqrt(np.asarray(var)))
+    return tuple(routing)
+
+
 def _usable_factor(kernel) -> bool:
-    """Factor path is accurate unless a Gaussian-measure RBF lengthscale is
-    far below the quadrature node spacing (concrete host-side decision)."""
+    """Single-kernel form of _factor_routing (kept for tests/direct use)."""
     if isinstance(kernel, OrthogonalRBF) and isinstance(kernel.measure, GaussianMeasure):
         l = float(_host_param_value(kernel.lengthscale))
         return l > 0.5 * float(np.sqrt(np.asarray(kernel.measure.var)))
@@ -492,7 +513,7 @@ def compute_sobol_oak(model, delta=None, mu=None,
     oak: OAKKernel = model.kernel
     depth = max_interaction_depth or oak.max_interaction_depth
     tuples = component_index_tuples(oak.num_dims, depth)[1:]
-    routing = tuple(_usable_factor(k) for k in oak.kernels)
+    routing = _factor_routing(oak)
     values = _sobol_values_jit(model, depth, routing)
     return tuples, np.asarray(values)
 

@@ -234,3 +234,26 @@ def test_fit_lbfgs_reports_convergence(rng):
     res = fit_lbfgs(oak.m, lambda m: m.training_loss(), max_iters=3)
     assert res.num_iters == 3 and not res.success
     assert res.grad_norm is not None and "max_iters" in res.message
+
+
+def test_plot_smoke_mixed_types(tmp_path, rng):
+    """Binary / categorical / second-order-binary plot paths — the reference
+    shipped a NameError in plot_single_effect_binary (plotting_utils.py:427)
+    precisely because these were never smoke-tested."""
+    import matplotlib
+    matplotlib.use("Agg")
+
+    n = 80
+    X = np.column_stack([
+        rng.integers(0, 2, n).astype(float),       # binary
+        rng.integers(0, 3, n).astype(float),       # categorical
+        rng.normal(size=n),                        # continuous
+    ])
+    y = (X[:, 0] + 0.5 * X[:, 1] + np.sin(X[:, 2])
+         + 0.3 * X[:, 0] * X[:, 2] + 0.1 * rng.normal(size=n)).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2, binary_feature=[0],
+                    categorical_feature=[1])
+    oak.fit(X, y, optimise=True)
+    figs = oak.plot(top_n=6, save_fig=str(tmp_path / "figs"))
+    assert len(figs) >= 4
+    assert any(p.suffix == ".pdf" for p in (tmp_path / "figs").iterdir())

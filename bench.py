@@ -322,7 +322,12 @@ def run_verify(args):
     Xj = jnp.asarray(X[: min(args.n, 2048)])
     Zj = jnp.asarray(X[: args.m])
 
-    fwd_p = jax.jit(lambda k: ogp.oak_gram(k, Xj, Zj))(kernel)
+    prev_fwd = ogp.FORWARD
+    try:
+        ogp.FORWARD = "pallas"
+        fwd_p = jax.jit(lambda k: ogp.oak_gram(k, Xj, Zj))(kernel)
+    finally:
+        ogp.FORWARD = prev_fwd
     fwd_x = jax.jit(lambda k: ogp.oak_gram_xla(k, Xj, Zj))(kernel)
     scale = float(jnp.max(jnp.abs(fwd_x)))
     results["pallas_fwd_max_rel"] = float(jnp.max(jnp.abs(fwd_p - fwd_x))) / scale
@@ -333,13 +338,14 @@ def run_verify(args):
     # grads through the handwritten Pallas backward kernel (the default
     # BACKWARD="xla" path is the XLA vjp by construction, so diffing it
     # would be vacuous)
-    prev = ogp.BACKWARD
+    prev = (ogp.FORWARD, ogp.BACKWARD)
     try:
+        ogp.FORWARD = "pallas"
         ogp.BACKWARD = "pallas"
         g_p = jax.jit(jax.grad(
             lambda k: jnp.vdot(ogp.oak_gram(k, Xj, Zj), cot)))(kernel)
     finally:
-        ogp.BACKWARD = prev
+        ogp.FORWARD, ogp.BACKWARD = prev
     leaves_p = jax.tree_util.tree_leaves(g_p)
     leaves_x = jax.tree_util.tree_leaves(g_x)
     rel = 0.0

@@ -374,13 +374,22 @@ def _gram_fwd(u1, u2, c1, c2, extra, bvar, sig2, depth):
             (u1, u2, c1, c2, extra, bvar, sig2))
 
 
-# Backward implementation selector: "xla" (autodiff of the reference
-# implementation, recompute-based) or "pallas" (the fused kernel above).
-# Measured on v5e at the pumadyn config (N=8192, M=512, D=32, P=3): XLA's
-# fused recompute backward gives a 4.3 ms train step vs 5.2-5.8 ms for the
-# handwritten kernel (XLA schedules the recompute + reductions better than
-# the two-pass VMEM-resident variant) — so "xla" is the default; the Pallas
-# path stays available and tested for when fusion regresses.
+# Implementation selectors, measured on v5e at the pumadyn config
+# (N=8192, M=512, D=32, P=3):
+#
+# FORWARD: "xla" (prescaled inputs -> XLA-fused per-dim loop) or "pallas"
+# (the handwritten tiled kernel). Both run under the SAME custom VJP whose
+# residuals are only the prescaled inputs (recompute backward) — that
+# residual policy, not the kernel codegen, is the training win: without it
+# XLA saves [D, N, M] per-dim grams for the backward. Step times: 3.98 ms
+# (xla fwd + recompute vjp) vs 4.52 ms (pallas fwd) vs 4.72 ms (plain XLA
+# autodiff, no custom vjp) — XLA fuses the per-dim loop better than the
+# hand-tiled kernel, so "xla" is the default and Pallas stays available
+# and tested for when XLA's fusion regresses.
+#
+# BACKWARD: "xla" (jax.vjp of the XLA reference, recompute) or "pallas"
+# (the handwritten two-pass kernel above): 4.52 vs 5.93 ms/step — "xla".
+FORWARD = "xla"
 BACKWARD = "xla"
 
 
@@ -399,6 +408,21 @@ def _gram_bwd(depth, res, g):
 
 
 _gram_op.defvjp(_gram_fwd, _gram_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _gram_op_xla(u1, u2, c1, c2, extra, bvar, sig2, depth):
+    """Same contract as _gram_op with the forward generated by XLA from the
+    prescaled inputs — shares _gram_bwd's recompute backward."""
+    return _xla_gram_from_prep(u1, u2, c1, c2, extra, bvar, sig2, depth)
+
+
+def _gram_xla_fwd(u1, u2, c1, c2, extra, bvar, sig2, depth):
+    return (_xla_gram_from_prep(u1, u2, c1, c2, extra, bvar, sig2, depth),
+            (u1, u2, c1, c2, extra, bvar, sig2))
+
+
+_gram_op_xla.defvjp(_gram_xla_fwd, _gram_bwd)
 
 
 def supports_pallas(oak) -> bool:
@@ -423,11 +447,16 @@ def supports_pallas(oak) -> bool:
 
 
 def oak_gram(oak, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Fused OAK gram via Pallas, with shape padding to tile multiples.
-    Output dtype follows X."""
+    """Fused OAK gram (prescaled inputs + recompute custom VJP), with the
+    forward generated per the FORWARD selector. Output dtype follows X."""
     X2_ = X if X2 is None else X2
     N, M = X.shape[0], X2_.shape[0]
     u1, u2, c1, c2, extra, bvar, sig2 = _prep(oak, X, X2_)
+
+    if FORWARD != "pallas":
+        return _gram_op_xla(u1, u2, c1, c2, extra, bvar[None, :],
+                            sig2[None, :],
+                            oak.max_interaction_depth).astype(X.dtype)
 
     Np, Mp = _round_up(N, TILE_N), _round_up(M, TILE_M)
     u1 = jnp.pad(u1, ((0, 0), (0, Np - N)))

@@ -77,7 +77,7 @@ def test_mixed_prep_matches_kernel_path(rng):
 
 def test_mixed_pallas_interpret_matches_xla(rng):
     oak, X, X2 = _mixed_setup(rng)
-    with pltpu.force_tpu_interpret_mode():
+    with _pallas_forward():
         Kp = ogp.oak_gram(oak, X, X2)
     Kx = ogp.oak_gram_xla(oak, X, X2)
     np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kx),
@@ -95,7 +95,7 @@ def test_mixed_pallas_gradients_match_xla(rng):
     def loss_x(o):
         return ogp.oak_gram_xla(o, X, X2).sum()
 
-    with pltpu.force_tpu_interpret_mode():
+    with _pallas_forward():
         gp = jax.grad(loss_p)(oak)
     gx = jax.grad(loss_x)(oak)
     leaves_p = jax.tree_util.tree_leaves(gp)
@@ -119,9 +119,27 @@ def test_xla_prep_path_matches_kernel_path(rng):
                                rtol=2e-5, atol=2e-6)
 
 
+def _pallas_forward():
+    """Context forcing the handwritten Pallas forward (the default FORWARD
+    is the XLA-generated one; these tests target the kernel itself)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        old = ogp.FORWARD
+        ogp.FORWARD = "pallas"
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                yield
+        finally:
+            ogp.FORWARD = old
+
+    return ctx()
+
+
 def test_pallas_interpret_matches_xla(rng):
     oak, X, X2 = _setup(rng)
-    with pltpu.force_tpu_interpret_mode():
+    with _pallas_forward():
         Kp = ogp.oak_gram(oak, X, X2)
     Kx = ogp.oak_gram_xla(oak, X, X2)
     np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kx),
@@ -141,7 +159,7 @@ def test_pallas_gradients_match_xla(rng, backward):
     old = ogp.BACKWARD
     ogp.BACKWARD = backward
     try:
-        with pltpu.force_tpu_interpret_mode():
+        with _pallas_forward():
             gp = jax.grad(loss_p)(oak)
     finally:
         ogp.BACKWARD = old
@@ -162,9 +180,25 @@ def test_pallas_backward_weighted_cotangent(rng):
     def loss_x(o):
         return (ogp.oak_gram_xla(o, X, X2) * W).sum()
 
-    with pltpu.force_tpu_interpret_mode():
+    with _pallas_forward():
         gp = jax.grad(loss_p)(oak)
     gx = jax.grad(loss_x)(oak)
     for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_default_forward_custom_vjp_matches_autodiff(rng):
+    """The default path (XLA forward under the recompute custom VJP) must
+    produce the same values and gradients as plain autodiff of the XLA
+    reference — the vjp wiring is a residual-policy change only."""
+    assert ogp.FORWARD == "xla"
+    oak, X, X2 = _setup(rng, N=64, M=40)
+    K1 = ogp.oak_gram(oak, X, X2)
+    K2 = ogp.oak_gram_xla(oak, X, X2)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), rtol=1e-7)
+    g1 = jax.grad(lambda o: ogp.oak_gram(o, X, X2).sum())(oak)
+    g2 = jax.grad(lambda o: ogp.oak_gram_xla(o, X, X2).sum())(oak)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)

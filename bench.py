@@ -1,6 +1,6 @@
 """Benchmark: SVGP ELBO training steps/sec + FULL-depth Sobol wall-clock on the
 pumadyn-32nm-shaped config from BASELINE.json (N=8192, D=32, M=512, depth 3 —
-all 5,456 components).
+all 5,488 components).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
@@ -181,8 +181,17 @@ def run_profile(args):
         "backend": jax.default_backend(),
         "config": f"N={args.n} D={args.d} M={args.m} depth={args.depth}",
         "dispatch_floor": timeit(jax.jit(lambda x: x + 1), jnp.ones(())),
-        "kuf_gram_fwd_pallas": timeit(
-            jax.jit(lambda v: ogp.oak_gram(unflatten(v).kernel, Xj, Zj)), vec0),
+    }
+    # the default FORWARD is "xla"; pin "pallas" so this label actually
+    # times the handwritten kernel
+    prev_fwd = ogp.FORWARD
+    try:
+        ogp.FORWARD = "pallas"
+        out["kuf_gram_fwd_pallas"] = timeit(
+            jax.jit(lambda v: ogp.oak_gram(unflatten(v).kernel, Xj, Zj)), vec0)
+    finally:
+        ogp.FORWARD = prev_fwd
+    out.update({
         "kuf_gram_fwd_xla": timeit(
             jax.jit(lambda v: ogp.oak_gram_xla(unflatten(v).kernel, Xj, Zj)), vec0),
         "kuf_gram_fwd_bwd": timeit(
@@ -195,7 +204,7 @@ def run_profile(args):
         "elbo_fwd": timeit(
             jax.jit(lambda v: unflatten(v).training_loss(Xj, Yj)), vec0),
         "full_step": timeit(lambda v: step(v, st0)[2], vec0),
-    }
+    })
     print(json.dumps(out))
 
 

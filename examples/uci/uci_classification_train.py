@@ -24,7 +24,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset_name", default="breast")
     ap.add_argument("--k", type=int, default=5)
-    ap.add_argument("--max_iters", type=int, default=500)
+    # 1000 = the round-1 behaviour (the flag used to be dead: fit(optimise=True)
+    # ran optimise() at its default budget); now the flag is honored
+    ap.add_argument("--max_iters", type=int, default=1000)
     args = ap.parse_args()
 
     X, y = load_classification(args.dataset_name)

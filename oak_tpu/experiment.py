@@ -55,13 +55,17 @@ class FitConfig:
     seed: int = 0
 
     def run(self, oak, X, Y, mesh=None):
-        """fit + optimise an oak_model according to this config."""
+        """fit + optimise an oak_model according to this config.
+        ``optimise`` is the train/no-train switch for BOTH modes; with it
+        off, ``minibatch`` is ignored."""
         oak.fit(X, Y, optimise=False)
+        if not self.optimise:
+            return oak
         if self.minibatch:
             oak.optimise_minibatch(batch_size=self.batch_size, steps=self.steps,
                                    lr=self.learning_rate, seed=self.seed,
                                    mesh=mesh)
-        elif self.optimise:
+        else:
             oak.optimise(max_iters=self.max_iters, compile=self.compile)
         return oak
 

@@ -97,6 +97,40 @@ def _component_posterior(m, dims: List[int], grid_cols: List[np.ndarray]):
     return mu, np.maximum(var, 0.0)
 
 
+def _summed_order1_posterior(m, xx: np.ndarray):
+    """Posterior mean/variance of the SUM of the continuous dims' order-1
+    effects evaluated at a shared grid (the latent-effect plot, i == D).
+
+    Discrete (binary/categorical) dims are excluded — their kernels gather
+    integer table entries and are meaningless on a continuous grid. The
+    variance uses the summed cross-covariance vector: the components share
+    one posterior, so Var(sum_d f_d) = sum_d prior_d - (sum_d Kxx_d) Qinv
+    (sum_d Kxx_d)^T, NOT the sum of marginal variances (posterior
+    cross-covariances between components are nonzero)."""
+    from .kernels.oak_kernel import UnconstrainedRBF
+    from .kernels.ortho_rbf import OrthogonalRBF
+
+    alpha, Qinv = m.posterior_stats()
+    Xc = _conditioning_inputs(m)
+    v = _order_variance(m, 1)
+    Kxx_sum = None
+    Kdiag_sum = None
+    xxj = jnp.asarray(xx)
+    for kd in m.kernel.kernels:
+        if not isinstance(kd, (OrthogonalRBF, UnconstrainedRBF)):
+            continue
+        g = v * np.asarray(kernel_K(kd, xxj, jnp.asarray(Xc[:, kd.active_dim])))
+        gd = v * np.asarray(kernel_K_diag(kd, xxj))
+        Kxx_sum = g if Kxx_sum is None else Kxx_sum + g
+        Kdiag_sum = gd if Kdiag_sum is None else Kdiag_sum + gd
+    if Kxx_sum is None:
+        raise ValueError("latent-effect plot needs at least one continuous dim")
+    mu = Kxx_sum @ np.asarray(alpha)[:, 0]
+    var = Kdiag_sum - np.einsum("sm,mn,sn->s", Kxx_sum, np.asarray(Qinv),
+                                Kxx_sum)
+    return mu, np.maximum(var, 0.0)
+
+
 def _apply(t, x):
     return np.asarray(x) if t is None else np.asarray(t(x))
 
@@ -130,9 +164,7 @@ def plot_single_effect(
         quantile_range = [0, 100]
     if latent:
         xx = np.linspace(-3.0, 3.0, 100)
-        mus, vars_ = zip(*(_component_posterior(m, [d], [xx])
-                           for d in range(D)))
-        mu, var = np.sum(mus, axis=0), np.sum(vars_, axis=0)
+        mu, var = _summed_order1_posterior(m, xx)
     else:
         xmin, xmax = np.percentile(Xi, (quantile_range[0], quantile_range[1]))
         xx = np.linspace(xmin, xmax, 100)

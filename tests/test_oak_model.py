@@ -257,3 +257,47 @@ def test_plot_smoke_mixed_types(tmp_path, rng):
     figs = oak.plot(top_n=6, save_fig=str(tmp_path / "figs"))
     assert len(figs) >= 4
     assert any(p.suffix == ".pdf" for p in (tmp_path / "figs").iterdir())
+
+
+def test_latent_effect_mixed_types_excludes_discrete(rng):
+    """The latent-effect plot must skip binary/categorical dims (their table
+    kernels are meaningless on a continuous grid) and must use the full
+    covariance of the summed components, not the sum of marginal variances."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from oak_tpu.plotting import _summed_order1_posterior, _component_posterior
+    from oak_tpu.plotting import plot_single_effect
+
+    n = 70
+    X = np.column_stack([
+        rng.integers(0, 3, n).astype(float),
+        rng.normal(size=n),
+        rng.normal(size=n),
+    ])
+    y = (X[:, 1] + np.sin(X[:, 2])).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2, categorical_feature=[0])
+    oak.fit(X, y, optimise=False)
+
+    xx = np.linspace(-3, 3, 50)
+    mu, var = _summed_order1_posterior(oak.m, xx)
+    assert np.isfinite(mu).all() and (var >= 0).all()
+
+    # cross-covariance identity: Var(f1+f2) = Var(f1) + Var(f2) + 2 Cov
+    import jax.numpy as jnp
+    from oak_tpu.kernels.oak_kernel import kernel_K
+
+    alpha, Qinv = oak.m.posterior_stats()
+    Xc = np.asarray(oak.m.data[0])
+    v = float(np.asarray(oak.m.kernel.variances[1].value))
+    ks = [k for k in oak.m.kernel.kernels if k.active_dim in (1, 2)]
+    Kx = [v * np.asarray(kernel_K(k, jnp.asarray(xx),
+                                  jnp.asarray(Xc[:, k.active_dim]))) for k in ks]
+    _, var1 = _component_posterior(oak.m, [1], [xx])
+    _, var2 = _component_posterior(oak.m, [2], [xx])
+    cov12 = -np.einsum("sm,mn,sn->s", Kx[0], np.asarray(Qinv), Kx[1])
+    np.testing.assert_allclose(var, var1 + var2 + 2 * cov12, rtol=1e-8,
+                               atol=1e-10)
+
+    fig = plot_single_effect(oak.m, i=3, covariate_name="latent",
+                             data=(oak.X_scaled, oak.Y_scaled))
+    assert fig is not None

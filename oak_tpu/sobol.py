@@ -334,7 +334,10 @@ def _model_X(model):
 
 # Cap on the prefix-product matrix Q_k [C_k, N*N] kept live by the ladder;
 # above it the remaining orders fall back to a chunked gather-product map.
-_LADDER_BYTES_CAP = 2 * 1024 ** 3
+# 6 GB covers depth-4 at D=32, M=512 in f32 (C_3 = 4,960 rows -> 5.2 GB, well
+# inside a v5e's 16 GB HBM; measured 0.58 s chunked vs 0.16 s ladder) while
+# the f64 CPU parity mode (10.4 GB) still falls back.
+_LADDER_BYTES_CAP = 6 * 1024 ** 3
 
 
 def _ladder_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,

@@ -1,0 +1,168 @@
+"""Reference-named compatibility surface.
+
+Every public function of the reference package is available under its exact
+reference name and signature here, for drop-in use by code written against
+amzn/orthogonal-additive-gaussian-processes. The canonical oak_tpu APIs
+(sobol.py, checkpoint.py, params.py, flows.py) remain the primary surface —
+these are thin faithful wrappers, including the reference's quirks where
+behavior-compatibility demands it (noted per function).
+
+Reference sources: /root/reference/oak/utils.py, model_utils.py,
+normalising_flow.py, oak_kernel.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import sobol as _sobol
+from .checkpoint import load_reference_npz, reference_param_order
+from .kernels import OrthogonalBinary, OrthogonalCategorical
+from .params import bounded as _bounded
+
+
+# --------------------------------------------------------------------------- #
+# utils.py names
+# --------------------------------------------------------------------------- #
+def compute_L(X, lengthscale, variance, dim, delta, mu) -> np.ndarray:
+    """Reference utils.py:221-240: Gaussian-measure L matrix for column
+    ``dim`` of X (f1 - f2 - f3 + f4)."""
+    x = jnp.asarray(np.asarray(X)[:, dim])
+    return np.asarray(_sobol.compute_L_gaussian(x, lengthscale, variance,
+                                                delta, mu))
+
+
+def compute_L_binary_kernel(X, p0, variance, dim) -> np.ndarray:
+    """Reference utils.py:243-272 — NOTE: faithful to the reference, this
+    scales by variance to the FIRST power, unlike every other branch (v^2);
+    the canonical sobol.compute_L_binary fixes the inconsistency."""
+    assert 0 <= p0 <= 1
+    k = OrthogonalBinary.create(p0=p0, variance=1.0)
+    x = jnp.asarray(np.asarray(X)[:, dim])
+    return float(variance) * np.asarray(_sobol.compute_L_binary(k, x))
+
+
+def compute_L_categorical_kernel(X, W, kappa, p, variance, dim) -> np.ndarray:
+    """Reference utils.py:275-309."""
+    k = OrthogonalCategorical.create(p=np.asarray(p).reshape(-1),
+                                     variance=variance)
+    k = k.replace(W=k.W.assign(jnp.asarray(np.asarray(W))),
+                  kappa=k.kappa.assign(jnp.asarray(np.asarray(kappa))))
+    x = jnp.asarray(np.asarray(X)[:, dim])
+    return np.asarray(_sobol.compute_L_categorical(k, x))
+
+
+def compute_L_empirical_measure(x, w, kernel, z) -> np.ndarray:
+    """Reference utils.py:312-335: L = (w ∘ Kxu^T) Kxu over the empirical
+    locations ``x`` with weights ``w``, evaluated at data/inducing ``z``."""
+    from .kernels import ortho_rbf
+
+    loc = jnp.asarray(np.asarray(x)).reshape(-1)
+    wt = jnp.asarray(np.asarray(w)).reshape(-1)
+    kxu = ortho_rbf.K(kernel, loc, jnp.asarray(np.asarray(z)).reshape(-1))
+    return np.asarray((wt[:, None] * kxu).T @ kxu)
+
+
+def get_model_sufficient_statistics(m, get_L: bool = True):
+    """Reference utils.py:168-218: posterior weights alpha (and the Cholesky
+    factor L with L L^T = Qinv^{-1}, i.e. chol(K + sigma^2 I) for GPR and the
+    equivalent for SGPR/SVGP posteriors)."""
+    alpha, Qinv = m.posterior_stats()
+    if not get_L:
+        return alpha
+    Qinv = np.asarray(Qinv)
+    L = np.linalg.cholesky(np.linalg.inv(Qinv))
+    return alpha, L
+
+
+# --------------------------------------------------------------------------- #
+# model_utils.py names
+# --------------------------------------------------------------------------- #
+def save_model(model, filename) -> None:
+    """Write a checkpoint in the REFERENCE's positional layout
+    (model_utils.py:44-64: np.savez(filename, hyperparams=[...constrained
+    values...]), with the SVGP save-all-parameters special case) so artifacts
+    produced here can be loaded by the reference implementation, and vice
+    versa via ``load_model``/``checkpoint.load_reference_npz``."""
+    import os
+
+    slots = reference_param_order(model)
+
+    def get(slot):
+        if slot.startswith("kernels["):
+            i = int(slot[len("kernels["):slot.index("]")])
+            field = slot.split(".")[1]
+            return np.asarray(getattr(model.kernel.kernels[i], field).value)
+        if slot.startswith("variances["):
+            j = int(slot[len("variances["):-1])
+            return np.asarray(model.kernel.variances[j].value)
+        if slot == "likelihood.variance":
+            return np.asarray(model.likelihood.variance.value)
+        return np.asarray(getattr(model, slot).value)
+
+    vals = [get(s) for s in slots]
+    d = os.path.dirname(str(filename))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    np.savez(filename, hyperparams=np.asarray(vals, dtype=object))
+
+
+def load_model(model, filename, load_all_parameters: bool = False):
+    """Reference model_utils.py:67-87 semantics over immutable pytrees: the
+    reference assigns in place and returns None; here the loaded model is
+    RETURNED (pure-functional models cannot be mutated). The
+    ``load_all_parameters`` flag is implied by the model type (SVGP
+    checkpoints always carry all parameters), matching how the reference's
+    own save side behaves."""
+    del load_all_parameters
+    return load_reference_npz(model, filename)
+
+
+def bounded_param(low: float, high: float, param):
+    """Reference oak_kernel.py:24-33 (sigmoid-bounded parameter)."""
+    return _bounded(low, high, param)
+
+
+def _calculate_features(X, categorical_feature=None, binary_feature=None):
+    """Reference model_utils.py:703-750 (private helper name)."""
+    from .preprocessing import calculate_features
+
+    return calculate_features(X, categorical_feature, binary_feature)
+
+
+# --------------------------------------------------------------------------- #
+# normalising_flow.py names
+# --------------------------------------------------------------------------- #
+def make_sinharcsinh():
+    """Reference normalising_flow.py:16-20: a fresh SinhArcsinh bijector with
+    trainable skewness/tailweight, as (skewness, tailweight) Params plus a
+    forward callable — oak_tpu composes flows inside Normalizer, so this
+    exists purely for reference-shaped code."""
+    from .params import param
+    from .bijectors import Exp
+
+    skewness = param(0.0)
+    tailweight = param(1.0, Exp())
+
+    def forward(x, skewness=skewness, tailweight=tailweight):
+        return jnp.sinh((jnp.arcsinh(jnp.asarray(x)) + skewness.value)
+                        * tailweight.value)
+
+    return {"skewness": skewness, "tailweight": tailweight, "forward": forward}
+
+
+def make_standardizer(x):
+    """Reference normalising_flow.py:23-27: scale-then-shift with trainable
+    parameters initialized from the data moments."""
+    from .params import param
+    from .bijectors import Exp
+
+    x = np.asarray(x, np.float64)
+    scale = param(1.0 / np.std(x), Exp())
+    shift = param(-np.mean(x))
+
+    def forward(v, scale=scale, shift=shift):
+        return jnp.asarray(v) * scale.value + shift.value
+
+    return {"scale": scale, "shift": shift, "forward": forward}

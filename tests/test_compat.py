@@ -1,0 +1,114 @@
+"""Reference-named compat surface (oak_tpu.compat): exact reference
+signatures, reference quirks preserved where behavior demands it."""
+
+import numpy as np
+import pytest
+
+from oak_tpu import compat
+from oak_tpu import sobol as sb
+from oak_tpu.kernels import OAKKernel, OrthogonalRBF
+from oak_tpu.measures import EmpiricalMeasure
+from oak_tpu.models import GPR
+
+
+def test_compute_L_matches_canonical(rng):
+    X = rng.normal(size=(20, 3))
+    L = compat.compute_L(X, lengthscale=0.8, variance=1.3, dim=1,
+                         delta=1.0, mu=0.0)
+    import jax.numpy as jnp
+
+    L2 = np.asarray(sb.compute_L_gaussian(jnp.asarray(X[:, 1]), 0.8, 1.3,
+                                          1.0, 0.0))
+    np.testing.assert_allclose(L, L2, rtol=1e-12)
+
+
+def test_compute_L_binary_reference_v1_scaling(rng):
+    """The compat function preserves the reference's variance^1 scaling
+    (utils.py:266-269); doubling variance doubles L (not 4x)."""
+    X = rng.integers(0, 2, size=(15, 2)).astype(float)
+    L1 = compat.compute_L_binary_kernel(X, p0=0.3, variance=1.0, dim=0)
+    L2 = compat.compute_L_binary_kernel(X, p0=0.3, variance=2.0, dim=0)
+    np.testing.assert_allclose(L2, 2.0 * L1, rtol=1e-12)
+    # against the direct reference formula
+    x = X[:, 0]
+    p0, p1 = 0.3, 0.7
+    a = p1 ** 2 * (1 - x) - p0 * p1 * x
+    b = -p0 * p1 * (1 - x) + p0 ** 2 * x
+    Lref = p0 * np.outer(a, a) + p1 * np.outer(b, b)
+    np.testing.assert_allclose(L1, Lref, rtol=1e-10, atol=1e-14)
+
+
+def test_compute_L_categorical_quadratic_in_variance(rng):
+    X = rng.integers(0, 3, size=(12, 1)).astype(float)
+    W = rng.uniform(size=(3, 2))
+    kappa = np.ones(3)
+    p = np.array([0.2, 0.5, 0.3])
+    L1 = compat.compute_L_categorical_kernel(X, W, kappa, p, 1.0, 0)
+    L2 = compat.compute_L_categorical_kernel(X, W, kappa, p, 2.0, 0)
+    np.testing.assert_allclose(L2, 4.0 * L1, rtol=1e-10)
+
+
+def test_compute_L_empirical_measure(rng):
+    loc = np.linspace(-1, 1, 6)
+    w = np.full(6, 1 / 6.0)
+    z = rng.normal(size=(10,))
+    k = OrthogonalRBF.create(
+        EmpiricalMeasure.create(loc.reshape(-1, 1), w.reshape(-1, 1)))
+    L = compat.compute_L_empirical_measure(loc, w, k, z)
+    assert L.shape == (10, 10)
+    np.testing.assert_allclose(L, L.T, rtol=1e-10)
+
+
+def test_get_model_sufficient_statistics_L_identity(rng):
+    """L L^T must equal Qinv^{-1} (= K + sigma^2 I for GPR)."""
+    X = rng.normal(size=(15, 2))
+    y = rng.normal(size=(15, 1))
+    k = OAKKernel.create(num_dims=2, max_interaction_depth=2)
+    m = GPR.create(X, y, k, noise_variance=0.1)
+    alpha, L = compat.get_model_sufficient_statistics(m)
+    _, Qinv = m.posterior_stats()
+    np.testing.assert_allclose(L @ L.T, np.linalg.inv(np.asarray(Qinv)),
+                               rtol=1e-8, atol=1e-10)
+    alpha_only = compat.get_model_sufficient_statistics(m, get_L=False)
+    np.testing.assert_allclose(np.asarray(alpha_only), np.asarray(alpha))
+
+
+def test_save_model_load_model_roundtrip(rng, tmp_path):
+    """compat.save_model writes the reference's positional layout;
+    compat.load_model (load_reference_npz) reads it back exactly."""
+    from oak_tpu.params import flatten_trainable
+
+    X = rng.normal(size=(20, 3))
+    y = rng.normal(size=(20, 1))
+    k = OAKKernel.create(num_dims=3, max_interaction_depth=2,
+                         lengthscale_bounds=[1e-3, 1e3])
+    m = GPR.create(X, y, k, noise_variance=0.05)
+    # perturb so values differ from the template defaults
+    vec, unflatten = flatten_trainable(m)
+    m2 = unflatten(vec + 0.1 * rng.normal(size=np.asarray(vec).shape))
+
+    path = tmp_path / "ref_style.npz"
+    compat.save_model(m2, path)
+    with np.load(path, allow_pickle=True) as f:
+        assert "hyperparams" in f
+    loaded = compat.load_model(m, path)
+    v_want, _ = flatten_trainable(m2)
+    v_got, _ = flatten_trainable(loaded)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_want),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_flow_maker_names(rng):
+    sas = compat.make_sinharcsinh()
+    x = rng.normal(size=10)
+    np.testing.assert_allclose(np.asarray(sas["forward"](x)), x, atol=1e-12)
+    std = compat.make_standardizer(rng.normal(size=50) * 3 + 1)
+    out = np.asarray(std["forward"](x))
+    assert out.shape == x.shape
+
+
+def test_private_calculate_features_alias(rng):
+    X = np.column_stack([rng.integers(0, 2, 30).astype(float),
+                         rng.normal(size=30)])
+    cont, bins, cats, p0, p = compat._calculate_features(X, None, [0])
+    assert bins == [0] and cont == [1]

@@ -605,6 +605,17 @@ def get_prediction_component(model, alpha=None, X=None,
 
 def normalize_sobol(sobol: np.ndarray, likelihood_variance: Optional[float] = None
                     ) -> np.ndarray:
-    """model_utils.py:516-522."""
+    """model_utils.py:516-522 — with a guard the reference lacks: a model in
+    the all-noise optimum (every order variance 0) has zero total component
+    variance, and 0/0 would propagate NaN into every downstream ranking;
+    return exact zeros instead."""
+    import warnings
+
+    sobol = np.asarray(sobol)
     denom = np.sum(sobol) + (likelihood_variance or 0.0)
-    return np.asarray(sobol) / denom
+    if not np.isfinite(denom) or denom <= 0.0:
+        warnings.warn(
+            "total Sobol variance is zero or non-finite (degenerate all-noise "
+            "fit?); returning zeros", RuntimeWarning)
+        return np.zeros_like(sobol)
+    return sobol / denom

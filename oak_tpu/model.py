@@ -344,18 +344,26 @@ class oak_model:
 
     @staticmethod
     def _degenerate_noise_fit(model) -> bool:
-        """True when a trained GPR/SGPR sits in the all-noise optimum: the
-        (standardized) targets are explained entirely by likelihood variance
-        while every additive component's variance has collapsed to ~0."""
-        if isinstance(model, SVGP) or not model.kernel.share_var_across_orders:
+        """True when a trained model sits in the all-noise optimum: every
+        additive component's variance has collapsed to ~0 — for GPR/SGPR the
+        (standardized) targets are then explained entirely by likelihood
+        variance; for an SVGP-Bernoulli classifier the latent is constant and
+        it predicts p=0.5 everywhere (NLL = log 2)."""
+        if not model.kernel.share_var_across_orders:
             return False
         import jax
 
-        vs = jax.device_get([v.value for v in model.kernel.variances[1:]]
-                            + [model.likelihood.variance.value])
-        lik = float(np.asarray(vs[-1]))
-        total = float(np.sum([np.asarray(v) for v in vs[:-1]]))
-        return total < 1e-4 and lik > 0.5
+        leaves = [v.value for v in model.kernel.variances[1:]]
+        has_lik_var = hasattr(model.likelihood, "variance")
+        if has_lik_var:
+            leaves.append(model.likelihood.variance.value)
+        vs = jax.device_get(leaves)
+        if has_lik_var:
+            lik = float(np.asarray(vs[-1]))
+            total = float(np.sum([np.asarray(v) for v in vs[:-1]]))
+            return total < 1e-4 and lik > 0.5
+        total = float(np.sum([np.asarray(v) for v in vs]))
+        return total < 1e-4
 
     def optimise_minibatch(self, batch_size: int = 256, steps: int = 2000,
                            lr: float = 1e-2, seed: int = 0, mesh=None):

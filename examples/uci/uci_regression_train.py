@@ -47,8 +47,11 @@ def main():
         dataset_name=args.dataset_name,
         task="regression",
         k_folds=args.k,
-        model=ModelConfig(max_interaction_depth=depth, num_inducing=500,
-                          sparse=n > 1000),
+        # sparse stays False: oak_model.fit itself switches to inducing
+        # points when the PER-FOLD training size exceeds 1000 (the
+        # reference's threshold, model_utils.py:374) — thresholding on the
+        # full dataset size here would flip boundary-sized datasets
+        model=ModelConfig(max_interaction_depth=depth, num_inducing=500),
         fit=FitConfig(max_iters=args.max_iters),
     )
     out_dir = Path(__file__).parent / "outputs" / args.dataset_name

@@ -163,6 +163,7 @@ def make_standardizer(x):
     shift = param(-np.mean(x))
 
     def forward(v, scale=scale, shift=shift):
-        return jnp.asarray(v) * scale.value + shift.value
+        # tfb.Chain([Scale, Shift]) applies Shift FIRST: (x - mean) / std
+        return (jnp.asarray(v) + shift.value) * scale.value
 
     return {"scale": scale, "shift": shift, "forward": forward}

@@ -171,7 +171,11 @@ def plot_single_effect(
         mu, var = _component_posterior(m, [i], [xx])
     lower, upper = mu - 2 * np.sqrt(var), mu + 2 * np.sqrt(var)
 
+    # the latent branch plots over a synthetic 1000-point grid; both
+    # data-scatter options pair Xi with the n-row training Y and are
+    # meaningless (and shape-mismatched) there
     plot_corrected_data = plot_corrected_data and not latent
+    plot_raw_data = plot_raw_data and not latent
     if plot_corrected_data:
         alpha, _ = m.posterior_stats()
         Xc = _conditioning_inputs(m)

@@ -361,12 +361,16 @@ def _ladder_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,
     """
     N = Lstack.shape[1]
     X = N * N
+    itemsize = np.dtype(Lstack.dtype).itemsize
+    if D * X * itemsize > _LADDER_BYTES_CAP:
+        # even the order-1 prefix matrix Q_1 = [D, N^2] is too large (dense
+        # large-N GPR): go straight to the memory-bounded chunked route
+        return _chunked_quadforms(Lstack, a, D, 1, max_order)
     Lf = Lstack[:D].reshape(D, X)
     A = (a[:, None] * a[None, :]).reshape(X)
     Q = Lf * A[None, :]  # [D, X]
     vals = {1: jnp.sum(Q, axis=1)}
     prefixes = [(d,) for d in range(D)]
-    itemsize = np.dtype(Lstack.dtype).itemsize
 
     for k in range(2, max_order + 1):
         ext = Q @ Lf.T  # [C_{k-1}, D]

@@ -102,9 +102,11 @@ def test_flow_maker_names(rng):
     sas = compat.make_sinharcsinh()
     x = rng.normal(size=10)
     np.testing.assert_allclose(np.asarray(sas["forward"](x)), x, atol=1e-12)
-    std = compat.make_standardizer(rng.normal(size=50) * 3 + 1)
-    out = np.asarray(std["forward"](x))
-    assert out.shape == x.shape
+    data = rng.normal(size=5000) * 3 + 1
+    std = compat.make_standardizer(data)
+    out = np.asarray(std["forward"](data))
+    # Chain([Scale, Shift]) semantics: shift first -> standardized output
+    assert abs(out.mean()) < 1e-6 and abs(out.std() - 1) < 1e-6
 
 
 def test_private_calculate_features_alias(rng):

@@ -301,3 +301,22 @@ def test_latent_effect_mixed_types_excludes_discrete(rng):
     fig = plot_single_effect(oak.m, i=3, covariate_name="latent",
                              data=(oak.X_scaled, oak.Y_scaled))
     assert fig is not None
+
+
+def test_latent_plot_ignores_data_scatter_flags(rng):
+    """The latent branch's 1000-point grid cannot be paired with the n-row
+    training Y; both scatter flags must be no-ops there."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from oak_tpu.plotting import plot_single_effect
+
+    n = 40
+    X = rng.normal(size=(n, 2))
+    y = (X[:, 0] > 0).astype(float).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=1, num_inducing=8,
+                    likelihood="bernoulli")
+    oak.fit(X, y, optimise=False)
+    fig = plot_single_effect(oak.m, i=2, plot_raw_data=True,
+                             plot_corrected_data=True,
+                             data=(oak.X_scaled, oak.Y_scaled))
+    assert fig is not None

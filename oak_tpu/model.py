@@ -304,6 +304,17 @@ class oak_model:
                             jit=compile)
         elif self.optimizer == "adam":
             res = fit_adam(self.m, loss, steps=max_iters)
+        elif self.optimizer == "natgrad":
+            # natural-gradient steps on q(u) alternated with Adam on the
+            # hyperparameters (SVGP only); exact variational step for
+            # Gaussian likelihoods, gentle step for non-conjugate ones
+            if not isinstance(self.m, SVGP):
+                raise ValueError("optimizer='natgrad' requires an SVGP model "
+                                 "(likelihood='bernoulli' or sparse SVGP)")
+            from .optim import fit_natgrad_adam
+
+            gamma = 1.0 if not isinstance(self.m.likelihood, Bernoulli) else 0.2
+            res = fit_natgrad_adam(self.m, loss, steps=max_iters, gamma=gamma)
         else:
             init = self.m
             if isinstance(self.m, SVGP):

@@ -1,3 +1,4 @@
 from .fit import fit_adam, fit_lbfgs, fit_scipy
+from .natgrad import fit_natgrad_adam
 
-__all__ = ["fit_scipy", "fit_lbfgs", "fit_adam"]
+__all__ = ["fit_scipy", "fit_lbfgs", "fit_adam", "fit_natgrad_adam"]

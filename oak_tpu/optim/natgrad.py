@@ -1,0 +1,141 @@
+"""Natural-gradient variational optimization for SVGP.
+
+The variational distribution q(u) = N(m, S) is an exponential family; steepest
+descent in its natural-parameter space (theta1 = S^-1 m, theta2 = -1/2 S^-1)
+with the gradient taken in expectation coordinates (eta1 = m,
+eta2 = S + m m^T) is the natural gradient:
+
+    theta <- theta - gamma * dL/d(eta)
+
+For a GAUSSIAN likelihood the ELBO is concave in eta and one unit step
+(gamma = 1) lands q(u) exactly on the optimal variational distribution — the
+SVGP bound collapses onto the Titsias SGPR bound (tested). For non-conjugate
+likelihoods (Bernoulli) smaller steps converge in far fewer iterations than
+Adam on the raw (m, sqrt(S)) parameterization.
+
+This replaces the role of gpflow.optimizers.NaturalGradient, which the
+reference stack has available but never uses (it runs full-batch BFGS on all
+parameters; uci_classification_train.py:119-124) — a capability extension in
+the spirit of SURVEY §2.4's "variational GP w/ natural or Adam updates".
+
+The training loop alternates one natural-gradient step on (q_mu, q_sqrt)
+with one Adam step on all OTHER trainables, both inside a single jitted
+step on the flat trainable vector (relay-friendly: no pytree dispatch).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..params import apply_trainable_mask, flatten_trainable
+from .fit import FitResult
+
+_VAR_FLOOR = 1e-10
+
+
+def _natgrad_update(m, loss_fn, gamma, args):
+    """One natural-gradient step on (q_mu, q_sqrt) of an SVGP pytree."""
+    q_mu = m.q_mu.value  # [M, R]
+    if m.q_diag:
+        s = m.q_sqrt.value  # [M, R] stddevs
+        S = s * s
+        eta1, eta2 = q_mu, S + q_mu * q_mu
+        theta1, theta2 = q_mu / S, -0.5 / S
+
+        def loss_eta(e1, e2):
+            S_ = jnp.maximum(e2 - e1 * e1, _VAR_FLOOR)
+            mm = m.replace(q_mu=m.q_mu.assign(e1),
+                           q_sqrt=m.q_sqrt.assign(jnp.sqrt(S_)))
+            return loss_fn(mm, *args)
+
+        g1, g2 = jax.grad(loss_eta, argnums=(0, 1))(eta1, eta2)
+        t1 = theta1 - gamma * g1
+        t2 = theta2 - gamma * g2
+        # a valid natural parameter needs theta2 < 0; reject the step
+        # elementwise where the (non-conjugate) update overshot
+        ok = t2 < -_VAR_FLOOR
+        S_new = jnp.where(ok, -0.5 / jnp.where(ok, t2, -1.0), S)
+        m_new = S_new * jnp.where(ok, t1, theta1)
+        return m.replace(q_mu=m.q_mu.assign(m_new),
+                         q_sqrt=m.q_sqrt.assign(jnp.sqrt(S_new)))
+
+    # full q_sqrt: [R, M, M] lower-triangular
+    Lq = jnp.tril(m.q_sqrt.value)
+    M_ = Lq.shape[-1]
+    eye = jnp.eye(M_, dtype=Lq.dtype)
+
+    def per_latent(mu_r, Lq_r):
+        S_r = Lq_r @ Lq_r.T
+        Sinv = jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(S_r), True), eye)
+        return Sinv @ mu_r, -0.5 * Sinv, S_r + jnp.outer(mu_r, mu_r)
+
+    theta1s, theta2s, eta2s = jax.vmap(per_latent, in_axes=(1, 0))(q_mu, Lq)
+    eta1 = q_mu  # [M, R]
+
+    def loss_eta(e1, e2):
+        def rebuild_r(e2_r, e1_r):
+            S_ = 0.5 * (e2_r + e2_r.T) - jnp.outer(e1_r, e1_r)
+            return jnp.linalg.cholesky(S_ + _VAR_FLOOR * eye)
+
+        Lq_ = jax.vmap(rebuild_r, in_axes=(0, 1))(e2, e1)
+        mm = m.replace(q_mu=m.q_mu.assign(e1), q_sqrt=m.q_sqrt.assign(Lq_))
+        return loss_fn(mm, *args)
+
+    g1, g2 = jax.grad(loss_eta, argnums=(0, 1))(eta1, eta2s)
+    t1 = theta1s - gamma * g1.T  # [R, M]
+    t2 = theta2s - gamma * g2  # [R, M, M]
+
+    def unmap_r(t1_r, t2_r):
+        P = -(t2_r + t2_r.T)  # = S^-1, symmetrized
+        Lp = jnp.linalg.cholesky(P + _VAR_FLOOR * eye)
+        S_new = jax.scipy.linalg.cho_solve((Lp, True), eye)
+        S_new = 0.5 * (S_new + S_new.T)
+        return S_new @ t1_r, jnp.linalg.cholesky(S_new + _VAR_FLOOR * eye)
+
+    m_new, Lq_new = jax.vmap(unmap_r)(t1, t2)
+    return m.replace(q_mu=m.q_mu.assign(m_new.T),
+                     q_sqrt=m.q_sqrt.assign(Lq_new))
+
+
+def fit_natgrad_adam(model, loss_fn: Callable, steps: int = 200,
+                     gamma: float = 0.1, hyper_lr: float = 1e-2,
+                     batch_fn: Optional[Callable] = None) -> FitResult:
+    """Alternate natural-gradient steps on the variational parameters with
+    Adam steps on every other trainable. ``loss_fn(model)`` (full-batch) or
+    ``loss_fn(model, *batch_fn(i))`` (minibatch). ``gamma=1`` with a Gaussian
+    likelihood makes each variational step exact."""
+    vec0, unflatten = flatten_trainable(model)
+    opt = optax.adam(hyper_lr)
+
+    def call_loss(mm, *args):
+        return loss_fn(mm, *args)
+
+    @jax.jit
+    def step(vec, opt_state, *args):
+        mdl = unflatten(vec)
+        mdl = _natgrad_update(mdl, call_loss, gamma, args)
+        loss, g = jax.value_and_grad(lambda mm: call_loss(mm, *args))(mdl)
+        zero_q = jax.tree_util.tree_map(jnp.zeros_like, (g.q_mu, g.q_sqrt))
+        g = g.replace(q_mu=zero_q[0], q_sqrt=zero_q[1])
+        g = apply_trainable_mask(g, mdl)
+        gvec, _ = flatten_trainable(g)
+        updates, opt_state = opt.update(gvec, opt_state)
+        new_vec, _ = flatten_trainable(mdl)
+        return optax.apply_updates(new_vec, updates), opt_state, loss
+
+    opt_state = opt.init(vec0)
+    vec = vec0
+    loss = jnp.inf
+    if batch_fn is None:
+        for _ in range(steps):
+            vec, opt_state, loss = step(vec, opt_state)
+    else:
+        for i in range(steps):
+            vec, opt_state, loss = step(vec, opt_state, *batch_fn(i))
+    return FitResult(model=unflatten(vec), fun=float(loss), num_iters=steps,
+                     success=bool(np.isfinite(float(loss))))

@@ -1,0 +1,127 @@
+"""Natural-gradient variational updates: the Gaussian-likelihood exactness
+identity (one unit step collapses the SVGP bound onto the Titsias SGPR bound)
+and convergence-speed vs Adam for Bernoulli."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oak_tpu.kernels import OAKKernel
+from oak_tpu.models import SGPR, SVGP, Bernoulli, Gaussian
+from oak_tpu.optim import fit_adam
+from oak_tpu.optim.natgrad import _natgrad_update, fit_natgrad_adam
+
+
+def _setup(rng, n=80, d=2, m=12):
+    X = rng.normal(size=(n, d))
+    y = (np.sin(X[:, 0]) + 0.5 * X[:, 1] + 0.05 * rng.normal(size=n)).reshape(-1, 1)
+    k = OAKKernel.create(num_dims=d, max_interaction_depth=2)
+    Z = X[:m].copy()
+    return k, X, y, Z
+
+
+def test_one_unit_step_recovers_sgpr_bound(rng):
+    """Salimbeni et al. identity: for a Gaussian likelihood the ELBO is
+    conjugate in the expectation parameters, so ONE natural-gradient step
+    with gamma=1 lands q(u) on the optimum and the SVGP ELBO equals the
+    collapsed SGPR bound (full q_sqrt required for exactness)."""
+    k, X, y, Z = _setup(rng)
+    svgp = SVGP.create(k, Gaussian.create(0.01), Z, q_diag=False, whiten=True,
+                       num_data=X.shape[0])
+    Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+
+    def loss(m, *a):
+        return -m.elbo(Xj, Yj)
+
+    stepped = _natgrad_update(svgp, loss, 1.0, ())
+    elbo = float(stepped.elbo(Xj, Yj))
+    sgpr = SGPR.create(X, y, k, Z, noise_variance=0.01)
+    np.testing.assert_allclose(elbo, float(sgpr.elbo()), rtol=1e-8)
+    # and it is a fixed point: a second step does not move the bound
+    stepped2 = _natgrad_update(stepped, loss, 1.0, ())
+    np.testing.assert_allclose(float(stepped2.elbo(Xj, Yj)), elbo, rtol=1e-8)
+
+
+def test_diag_natgrad_improves(rng):
+    """Finite-step natgrad is an ascent direction, not a monotone method;
+    assert substantial overall ELBO improvement over a few steps."""
+    k, X, y, Z = _setup(rng)
+    svgp = SVGP.create(k, Gaussian.create(0.05), Z, q_diag=True, whiten=True,
+                       num_data=X.shape[0])
+    Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+
+    def loss(m, *a):
+        return -m.elbo(Xj, Yj)
+
+    start = float(svgp.elbo(Xj, Yj))
+    m = svgp
+    for _ in range(10):
+        m = _natgrad_update(m, loss, 0.25, ())
+    end = float(m.elbo(Xj, Yj))
+    assert np.isfinite(end) and end > start + 1.0
+
+
+def test_natgrad_adam_beats_adam_bernoulli(rng):
+    """Fixed small step budget: natgrad+Adam reaches a better ELBO than pure
+    Adam on the raw parameterization (the point of natural gradients)."""
+    n = 120
+    X = rng.normal(size=(n, 2))
+    y = ((X[:, 0] + 0.5 * X[:, 1] + 0.3 * rng.normal(size=n)) > 0
+         ).astype(np.float64).reshape(-1, 1)
+    k = OAKKernel.create(num_dims=2, max_interaction_depth=2,
+                         use_sparsity_prior=True)
+    Z = X[:16].copy()
+    Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+
+    def build():
+        kk = OAKKernel.create(num_dims=2, max_interaction_depth=2,
+                              use_sparsity_prior=True)
+        return SVGP.create(kk, Bernoulli.create("logit"), Z, q_diag=True,
+                           whiten=True, num_data=n)
+
+    def loss(m, *a):
+        return m.training_loss(Xj, Yj)
+
+    steps = 60
+    res_ng = fit_natgrad_adam(build(), loss, steps=steps, gamma=0.2,
+                              hyper_lr=1e-2)
+    res_adam = fit_adam(build(), loss, steps=steps, lr=1e-2)
+    assert res_ng.fun < res_adam.fun
+
+
+def test_natgrad_minibatch_path(rng):
+    n = 90
+    X = rng.normal(size=(n, 2))
+    y = (X[:, 0] > 0).astype(np.float64).reshape(-1, 1)
+    k = OAKKernel.create(num_dims=2, max_interaction_depth=1)
+    svgp = SVGP.create(k, Bernoulli.create("logit"), X[:8].copy(), q_diag=True,
+                       whiten=True, num_data=n)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+    idx = [jnp.asarray(rng.choice(n, 30, replace=False)) for _ in range(10)]
+
+    res = fit_natgrad_adam(
+        svgp, lambda m, Xb, Yb: m.training_loss(Xb, Yb), steps=10, gamma=0.1,
+        batch_fn=lambda i: (Xj[idx[i]], Yj[idx[i]]))
+    assert np.isfinite(res.fun)
+
+
+def test_oak_model_natgrad_optimizer(rng):
+    from oak_tpu import oak_model
+
+    n = 90
+    X = rng.normal(size=(n, 2))
+    y = (X[:, 0] + 0.4 * X[:, 1] > 0).astype(float).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2, num_inducing=12,
+                    likelihood="bernoulli", optimizer="natgrad")
+    oak.fit(X, y, optimise=False)
+    res = oak.optimise(max_iters=80)
+    assert np.isfinite(res.fun)
+    prob = oak.predict_proba(X, clip=True)
+    acc = np.mean((prob > 0.5).astype(float) == y[:, 0])
+    assert acc > 0.8
+
+    # gaussian-likelihood models reject natgrad with a clear error
+    oak2 = oak_model(max_interaction_depth=1, optimizer="natgrad")
+    oak2.fit(X, y, optimise=False)
+    with pytest.raises(ValueError, match="natgrad"):
+        oak2.optimise(max_iters=1)

@@ -1,5 +1,6 @@
 from .sharding import (
     data_parallel_elbo_step,
+    data_parallel_natgrad_step,
     make_mesh,
     replicate,
     shard_batch,
@@ -7,4 +8,4 @@ from .sharding import (
 )
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_elbo_step",
-           "sharded_predict_f"]
+           "data_parallel_natgrad_step", "sharded_predict_f"]

@@ -119,3 +119,32 @@ def test_minibatch_mesh_batch_divisibility(rng):
     mesh = make_mesh(8)
     with pytest.raises(ValueError, match="divisible"):
         oak.optimise_minibatch(batch_size=20, steps=1, mesh=mesh)
+
+
+def test_dp_natgrad_matches_single_device(rng):
+    """Sharded natgrad+Adam step == single-device fit_natgrad_adam step
+    (same batch, same init) up to floating-point reduction order."""
+    from oak_tpu.models import Bernoulli
+    from oak_tpu.optim.natgrad import fit_natgrad_adam
+    from oak_tpu.parallel import data_parallel_natgrad_step
+
+    n = 64
+    X = rng.normal(size=(n, 3))
+    y = (X[:, 0] > 0).astype(np.float64).reshape(-1, 1)
+    k = OAKKernel.create(num_dims=3, max_interaction_depth=2)
+    model = SVGP.create(k, Bernoulli.create("logit"), X[:8].copy(),
+                        q_diag=True, whiten=True, num_data=n)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+
+    mesh = make_mesh(8)
+    step, (vec, opt_state, unflatten) = data_parallel_natgrad_step(
+        model, mesh, gamma=0.2, hyper_lr=1e-2)
+    Xs, Ys = shard_batch(mesh, Xj, Yj)
+    vec1, _, loss_dp = step(vec, opt_state, Xs, Ys)
+
+    res = fit_natgrad_adam(model, lambda m, a, b: m.training_loss(a, b),
+                           steps=1, gamma=0.2, hyper_lr=1e-2,
+                           batch_fn=lambda i: (Xj, Yj))
+    v_single, _ = flatten_trainable(res.model)
+    np.testing.assert_allclose(np.asarray(jax.device_get(vec1)),
+                               np.asarray(v_single), rtol=1e-8, atol=1e-10)

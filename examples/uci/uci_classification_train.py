@@ -27,6 +27,8 @@ def main():
     # 1000 = the round-1 behaviour (the flag used to be dead: fit(optimise=True)
     # ran optimise() at its default budget); now the flag is honored
     ap.add_argument("--max_iters", type=int, default=1000)
+    ap.add_argument("--optimizer", default="lbfgs",
+                    choices=["lbfgs", "scipy", "adam", "natgrad"])
     args = ap.parse_args()
 
     X, y = load_classification(args.dataset_name)
@@ -41,7 +43,7 @@ def main():
         task="classification",
         k_folds=args.k,
         model=ModelConfig(max_interaction_depth=depth, num_inducing=200,
-                          likelihood="bernoulli"),
+                          likelihood="bernoulli", optimizer=args.optimizer),
         fit=FitConfig(max_iters=args.max_iters),
     )
     out_dir = Path(__file__).parent / "outputs" / args.dataset_name

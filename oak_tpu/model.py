@@ -10,7 +10,8 @@ Beyond the reference:
   scripts do (uci_classification_train.py:108-124);
 - ``predict`` raises a ValueError with a clipping hint instead of printing
   and returning None (model_utils.py:442-443 quirk, see PARITY_NOTES.md);
-- optimizers: on-device L-BFGS (default), scipy BFGS (parity mode), or Adam.
+- optimizers: on-device L-BFGS (default), scipy BFGS (parity mode), Adam,
+  or natural-gradient variational steps + Adam on hypers ("natgrad", SVGP).
 """
 
 from __future__ import annotations

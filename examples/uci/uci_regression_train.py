@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--k", type=int, default=5, help="k-fold train-test splits")
     ap.add_argument("--max_iters", type=int, default=500)
     ap.add_argument("--depth", type=int, default=None)
+    ap.add_argument("--optimizer", default="lbfgs",
+                    choices=["lbfgs", "scipy", "adam"])
     args = ap.parse_args()
 
     X, y = load_regression(args.dataset_name)
@@ -51,7 +53,8 @@ def main():
         # points when the PER-FOLD training size exceeds 1000 (the
         # reference's threshold, model_utils.py:374) — thresholding on the
         # full dataset size here would flip boundary-sized datasets
-        model=ModelConfig(max_interaction_depth=depth, num_inducing=500),
+        model=ModelConfig(max_interaction_depth=depth, num_inducing=500,
+                          optimizer=args.optimizer),
         fit=FitConfig(max_iters=args.max_iters),
     )
     out_dir = Path(__file__).parent / "outputs" / args.dataset_name

@@ -90,14 +90,21 @@ def _natgrad_update(m, loss_fn, gamma, args):
     t1 = theta1s - gamma * g1.T  # [R, M]
     t2 = theta2s - gamma * g2  # [R, M, M]
 
-    def unmap_r(t1_r, t2_r):
+    def unmap_r(t1_r, t2_r, mu_old_r, Lq_old_r):
         P = -(t2_r + t2_r.T)  # = S^-1, symmetrized
         Lp = jnp.linalg.cholesky(P + _VAR_FLOOR * eye)
         S_new = jax.scipy.linalg.cho_solve((Lp, True), eye)
         S_new = 0.5 * (S_new + S_new.T)
-        return S_new @ t1_r, jnp.linalg.cholesky(S_new + _VAR_FLOOR * eye)
+        m_new_r = S_new @ t1_r
+        Lq_new_r = jnp.linalg.cholesky(S_new + _VAR_FLOOR * eye)
+        # a non-conjugate overshoot makes theta2 indefinite -> NaNs from the
+        # Cholesky; reject the whole latent's step rather than poison q
+        bad = jnp.logical_not(jnp.all(jnp.isfinite(Lq_new_r))
+                              & jnp.all(jnp.isfinite(m_new_r)))
+        return (jnp.where(bad, mu_old_r, m_new_r),
+                jnp.where(bad, Lq_old_r, Lq_new_r))
 
-    m_new, Lq_new = jax.vmap(unmap_r)(t1, t2)
+    m_new, Lq_new = jax.vmap(unmap_r)(t1, t2, q_mu.T, Lq)
     return m.replace(q_mu=m.q_mu.assign(m_new.T),
                      q_sqrt=m.q_sqrt.assign(Lq_new))
 

@@ -291,12 +291,19 @@ class oak_model:
             return lambda m: m.training_loss(Xj, Yj)
         return lambda m: m.training_loss()
 
-    def optimise(self, max_iters: int = 1000, compile: bool = True):
+    def optimise(self, max_iters: int = 1000, compile: bool = True,
+                 restarts: int = 0, mesh=None):
         """``compile`` mirrors the reference's Scipy(..., compile=) tf.function
         toggle (model_utils.py:419-425): with optimizer='scipy' it switches
         between jitted and eager objective evaluation. The on-device
         optimizers (lbfgs/adam) are always compiled — jit IS their execution
-        model."""
+        model.
+
+        ``restarts > 0`` (lbfgs only) runs that many jittered initializations
+        *in parallel* as one vmapped L-BFGS (optim/multistart.py) and keeps
+        the best non-degenerate fit; ``mesh`` shards the restarts axis over a
+        device mesh. With ``restarts=0`` the parallel multistart still kicks
+        in as a fallback when the single fit lands in the all-noise optimum."""
         t0 = time.time()
         self.alpha = None
         loss = self._loss_fn()
@@ -317,39 +324,45 @@ class oak_model:
             gamma = 1.0 if not isinstance(self.m.likelihood, Bernoulli) else 0.2
             res = fit_natgrad_adam(self.m, loss, steps=max_iters, gamma=gamma)
         else:
-            init = self.m
-            if isinstance(self.m, SVGP):
-                # Adam warmup moves q off the cold start where the zoom
-                # linesearch can stall in f32, then L-BFGS refines; gentle lr —
-                # 5e-2 overshoots into Cholesky-failure territory on f32
-                warm = fit_adam(self.m, loss, steps=300, lr=2e-2)
-                self.m = warm.model
-            res = fit_lbfgs(self.m, loss, max_iters=max_iters)
-            if self._degenerate_noise_fit(res.model):
-                # The Gamma(1, 0.2) sparsity prior makes the all-noise
-                # stationary point (every order variance -> 0, likelihood
-                # variance -> Var(y)) a genuine attractor of the cold-started
-                # f32 L-BFGS on some folds (f64 escapes it from the same
-                # init — measured on the autoMPG folds: trap loss +457 vs
-                # good-basin loss -206). Deterministic jittered restarts
-                # reliably find the good basin; keep the best by loss
-                # (= log marginal incl. priors), stopping at the first
-                # non-degenerate improvement.
-                from .params import flatten_trainable
+            from .optim import fit_lbfgs_multistart
 
-                vec0, unflatten = flatten_trainable(init)
-                v0 = np.asarray(vec0)
-                for seed, warm_first in ((0, True), (1, False)):
-                    rng = np.random.default_rng(seed)
-                    m = unflatten(jnp.asarray(
-                        v0 + 0.3 * rng.standard_normal(v0.shape), vec0.dtype))
-                    if warm_first:
-                        m = fit_adam(m, loss, steps=300, lr=2e-2).model
-                    retry = fit_lbfgs(m, loss, max_iters=max_iters)
-                    if retry.fun < res.fun:
+            init = self.m
+            is_svgp = isinstance(self.m, SVGP)
+            # Adam warmup moves q off the cold start where the zoom
+            # linesearch can stall in f32, then L-BFGS refines; gentle lr —
+            # 5e-2 overshoots into Cholesky-failure territory on f32
+            warm_steps = 300 if is_svgp else 0
+            if restarts > 0:
+                res = fit_lbfgs_multistart(
+                    init, loss, n_starts=restarts, jitter=0.3, seed=0,
+                    max_iters=max_iters, warm_adam_steps=warm_steps,
+                    include_init=True, mesh=mesh,
+                    accept_fn=lambda m: not self._degenerate_noise_fit(m))
+            else:
+                if is_svgp:
+                    self.m = fit_adam(self.m, loss, steps=warm_steps,
+                                      lr=2e-2).model
+                res = fit_lbfgs(self.m, loss, max_iters=max_iters)
+                if self._degenerate_noise_fit(res.model):
+                    # The Gamma(1, 0.2) sparsity prior makes the all-noise
+                    # stationary point (every order variance -> 0, likelihood
+                    # variance -> Var(y)) a genuine attractor of the
+                    # cold-started f32 L-BFGS on some folds (f64 escapes it
+                    # from the same init — measured on the autoMPG folds:
+                    # trap loss +457 vs good-basin loss -206). Jittered
+                    # restarts reliably find the good basin; run them as ONE
+                    # batched vmapped L-BFGS and keep the best
+                    # non-degenerate fit by loss (= log marginal incl.
+                    # priors), falling back to the original if none improves.
+                    retry = fit_lbfgs_multistart(
+                        init, loss, n_starts=2, jitter=0.3, seed=0,
+                        max_iters=max_iters, warm_adam_steps=300,
+                        include_init=False, mesh=mesh,
+                        accept_fn=lambda m: not self._degenerate_noise_fit(m))
+                    if retry.fun < res.fun or (
+                            self._degenerate_noise_fit(res.model)
+                            and not self._degenerate_noise_fit(retry.model)):
                         res = retry
-                    if not self._degenerate_noise_fit(res.model):
-                        break
         self.m = res.model
         self.timings["optimise"] = time.time() - t0
         return res

@@ -27,7 +27,14 @@ from .params import Gamma, Normal, Param, bounded, fixed, param, positive
 from .flows import Normalizer, fit_normalizer
 from .model import create_model_oak, oak_model
 from .models import GPR, SGPR, SVGP, Bernoulli, Gaussian
-from .optim import fit_adam, fit_lbfgs, fit_scipy
+from .optim import (
+    fit_adam,
+    fit_lbfgs,
+    fit_lbfgs_multistart,
+    fit_natgrad_adam,
+    fit_scipy,
+)
+from .serving import deserialize_predict, serialize_predict
 from .sobol import (
     compute_sobol_by_order,
     compute_sobol_oak,

@@ -1,0 +1,60 @@
+"""Serving export (serving.py): the serialized AOT predict artifact
+round-trips through bytes/disk, matches the live model's predictions, and
+its symbolic batch dimension serves any batch size from one artifact."""
+
+import numpy as np
+
+from oak_tpu.model import oak_model
+from oak_tpu.serving import deserialize_predict, serialize_predict
+
+
+def _fitted(rng, likelihood="gaussian"):
+    X = rng.normal(size=(60, 3))
+    if likelihood == "bernoulli":
+        y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float).reshape(-1, 1)
+        oak = oak_model(max_interaction_depth=2, likelihood="bernoulli")
+        oak.fit(X, y, optimise=False)
+        oak.optimise(max_iters=25)
+    else:
+        y = (np.sin(X[:, 0]) + 0.3 * X[:, 1]).reshape(-1, 1) \
+            + 0.05 * rng.normal(size=(60, 1))
+        oak = oak_model(max_interaction_depth=2)
+        oak.fit(X, y, optimise=False)
+        oak.optimise(max_iters=40)
+    return oak, X
+
+
+def test_serialized_predict_matches_live(rng, tmp_path):
+    oak, X = _fitted(rng)
+    p = tmp_path / "predict.jaxexp"
+    blob = serialize_predict(oak, path=p)
+    assert p.read_bytes() == blob
+
+    f = deserialize_predict(blob)
+    live = oak.predict(X, clip=True)
+    served = np.asarray(f(X.astype(np.float32)))
+    # artifact is f32; live path runs the suite's f64 — tolerance accordingly
+    np.testing.assert_allclose(served, live, rtol=1e-4, atol=1e-4)
+
+    # same artifact, different batch sizes (symbolic batch dim)
+    for n in (1, 7, 33):
+        out = np.asarray(f(X[:n].astype(np.float32)))
+        np.testing.assert_allclose(out, live[:n], rtol=1e-4, atol=1e-4)
+
+
+def test_serialized_predict_from_disk(rng, tmp_path):
+    oak, X = _fitted(rng)
+    p = tmp_path / "predict.jaxexp"
+    serialize_predict(oak, path=p)
+    f = deserialize_predict(p)
+    np.testing.assert_allclose(np.asarray(f(X.astype(np.float32))),
+                               oak.predict(X, clip=True), rtol=1e-4, atol=1e-4)
+
+
+def test_serialized_bernoulli_probs(rng, tmp_path):
+    oak, X = _fitted(rng, likelihood="bernoulli")
+    f = deserialize_predict(serialize_predict(oak))
+    served = np.asarray(f(X.astype(np.float32)))
+    live = oak.predict(X, clip=True)
+    np.testing.assert_allclose(served, live, rtol=1e-3, atol=1e-3)
+    assert served.min() >= 0.0 and served.max() <= 1.0

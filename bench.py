@@ -67,25 +67,31 @@ def run_bench(args):
     vec0, unflatten = flatten_trainable(model)
     opt = optax.adam(1e-2)
 
+    # the product training loop is device-resident (optim.fit_adam_scan /
+    # optimise_minibatch): the whole run is ONE lax.scan dispatch, so the
+    # benchmark times pure device throughput, not per-step host round-trips
     @jax.jit
-    def step(vec, opt_state):
-        loss, g = jax.value_and_grad(
-            lambda v: unflatten(v).training_loss(Xj, Yj)
-        )(vec)
-        updates, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(vec, updates), opt_state, loss
+    def train(vec):
+        def one(carry, _):
+            v, opt_state = carry
+            loss, g = jax.value_and_grad(
+                lambda u: unflatten(u).training_loss(Xj, Yj))(v)
+            updates, opt_state = opt.update(g, opt_state)
+            return (optax.apply_updates(v, updates), opt_state), loss
+
+        (vec, _), losses = jax.lax.scan(one, (vec, opt.init(vec)), None,
+                                        length=args.steps)
+        return vec, losses[-1]
 
     if args.sobol_only:
         steps_per_sec, loss = float("nan"), jnp.asarray(float("nan"))
         trained = model
     else:
-        opt_state = opt.init(vec0)
-        vec, opt_state, loss = step(vec0, opt_state)  # warmup/compile
+        vec, loss = train(vec0)  # warmup/compile
         jax.block_until_ready(loss)
 
         t0 = time.perf_counter()
-        for _ in range(args.steps):
-            vec, opt_state, loss = step(vec, opt_state)
+        vec, loss = train(vec0)
         jax.block_until_ready(loss)
         dt = time.perf_counter() - t0
         steps_per_sec = args.steps / dt

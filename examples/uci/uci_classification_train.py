@@ -27,6 +27,9 @@ def main():
     # 1000 = the round-1 behaviour (the flag used to be dead: fit(optimise=True)
     # ran optimise() at its default budget); now the flag is honored
     ap.add_argument("--max_iters", type=int, default=1000)
+    ap.add_argument("--restarts", type=int, default=0,
+                    help="parallel multi-start L-BFGS restarts (0 = single "
+                         "start with automatic degenerate-fit fallback)")
     ap.add_argument("--optimizer", default="lbfgs",
                     choices=["lbfgs", "scipy", "adam", "natgrad"])
     args = ap.parse_args()
@@ -44,7 +47,7 @@ def main():
         k_folds=args.k,
         model=ModelConfig(max_interaction_depth=depth, num_inducing=200,
                           likelihood="bernoulli", optimizer=args.optimizer),
-        fit=FitConfig(max_iters=args.max_iters),
+        fit=FitConfig(max_iters=args.max_iters, restarts=args.restarts),
     )
     out_dir = Path(__file__).parent / "outputs" / args.dataset_name
     out_dir.mkdir(parents=True, exist_ok=True)

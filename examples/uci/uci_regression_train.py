@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--k", type=int, default=5, help="k-fold train-test splits")
     ap.add_argument("--max_iters", type=int, default=500)
     ap.add_argument("--depth", type=int, default=None)
+    ap.add_argument("--restarts", type=int, default=0,
+                    help="parallel multi-start L-BFGS restarts (0 = single "
+                         "start with automatic degenerate-fit fallback)")
     ap.add_argument("--optimizer", default="lbfgs",
                     choices=["lbfgs", "scipy", "adam"])
     args = ap.parse_args()
@@ -55,7 +58,7 @@ def main():
         # full dataset size here would flip boundary-sized datasets
         model=ModelConfig(max_interaction_depth=depth, num_inducing=500,
                           optimizer=args.optimizer),
-        fit=FitConfig(max_iters=args.max_iters),
+        fit=FitConfig(max_iters=args.max_iters, restarts=args.restarts),
     )
     out_dir = Path(__file__).parent / "outputs" / args.dataset_name
     out_dir.mkdir(parents=True, exist_ok=True)

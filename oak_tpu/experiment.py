@@ -47,6 +47,9 @@ class FitConfig:
     optimise: bool = True
     max_iters: int = 500
     compile: bool = True
+    # parallel multi-start L-BFGS (optim/multistart.py); 0 = single start
+    # with the degenerate-fit fallback
+    restarts: int = 0
     # minibatch (SVGP) options; used when minibatch=True
     minibatch: bool = False
     batch_size: int = 256
@@ -66,7 +69,8 @@ class FitConfig:
                                    lr=self.learning_rate, seed=self.seed,
                                    mesh=mesh)
         else:
-            oak.optimise(max_iters=self.max_iters, compile=self.compile)
+            oak.optimise(max_iters=self.max_iters, compile=self.compile,
+                         restarts=self.restarts)
         return oak
 
 

@@ -440,17 +440,20 @@ class oak_model:
             res = FitResult(model=unflatten(vec), fun=float(loss),
                             num_iters=steps, success=True)
         else:
+            from .optim.fit import fit_adam_scan
+
+            # device-resident loop: the whole run is one lax.scan over the
+            # stacked minibatch-index stream — a single dispatch instead of
+            # one host round-trip per step; same stream -> same trajectory
+            # as the mesh path and the old per-step loop
             Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
-            stream = [jnp.asarray(i) for i in idx_stream]
+            idx = jnp.asarray(np.stack(idx_stream))
 
-            def batch_fn(i):
-                return (Xj[stream[i]], Yj[stream[i]])
+            def loss_fn(m, ib):
+                return m.training_loss(Xj[ib], Yj[ib])
 
-            def loss_fn(m, Xb, Yb):
-                return m.training_loss(Xb, Yb)
-
-            res = fit_adam(self.m, loss_fn, steps=steps, lr=lr,
-                           batch_fn=batch_fn)
+            res = fit_adam_scan(self.m, loss_fn, steps=steps, lr=lr,
+                                batch_args=(idx,))
         self.m = res.model
         self.timings["optimise_minibatch"] = time.time() - t0
         return res

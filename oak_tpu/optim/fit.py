@@ -173,3 +173,38 @@ def fit_adam(model, loss_fn: Callable, steps: int = 1000, lr: float = 1e-2,
         vec, opt_state, v = update(vec, opt_state, *batch_fn(i))
     return FitResult(model=unflatten(vec), fun=float(v), num_iters=steps,
                      success=True)
+
+
+def fit_adam_scan(model, loss_fn: Callable, steps: int = 1000, lr: float = 1e-2,
+                  batch_args=None) -> FitResult:
+    """Device-resident Adam: the whole training loop is ONE ``lax.scan`` under
+    jit — a single dispatch instead of ``steps`` host round-trips (the per-step
+    dispatch costs ~0.3-0.5 ms on the tunneled TPU; over a 2000-step run
+    that's a full second of pure overhead ``fit_adam`` pays and this doesn't).
+
+    ``batch_args``: optional pytree of arrays with leading dimension
+    ``steps`` (e.g. a stacked minibatch-index array); step ``i`` calls
+    ``loss_fn(model, *batch_args[i])``. With ``batch_args=None`` the loss is
+    full-batch: ``loss_fn(model)``. The update math is identical to
+    ``fit_adam`` — same stream in, same trajectory out (tested)."""
+    vec0, unflatten = flatten_trainable(model)
+    opt = optax.adam(lr)
+
+    def one_step(carry, xs):
+        vec, opt_state = carry
+        args = () if xs is None else xs
+        v, g = jax.value_and_grad(
+            lambda u: loss_fn(unflatten(u), *args))(vec)
+        g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
+        updates, opt_state = opt.update(g, opt_state)
+        return (optax.apply_updates(vec, updates), opt_state), v
+
+    @jax.jit
+    def run(vec, batch_args):
+        (vec, _), losses = jax.lax.scan(one_step, (vec, opt.init(vec)),
+                                        batch_args, length=steps)
+        return vec, losses[-1]
+
+    vec, v = run(vec0, batch_args)
+    return FitResult(model=unflatten(vec), fun=float(v), num_iters=steps,
+                     success=bool(np.isfinite(float(v))))

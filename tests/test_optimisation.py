@@ -55,3 +55,42 @@ def test_scipy_and_lbfgs_agree_at_convergence(rng):
     r2 = fit_lbfgs(m, lambda mm: mm.training_loss(), max_iters=300)
     # converged objective parity (trajectories differ; reference SURVEY §7)
     assert abs(r1.fun - r2.fun) < 1e-3 * max(1.0, abs(r1.fun))
+
+
+def test_adam_scan_matches_per_step_loop(rng):
+    # fit_adam_scan (one lax.scan dispatch) must reproduce fit_adam's
+    # trajectory exactly when fed the same minibatch stream
+    import jax.numpy as jnp
+
+    from oak_tpu.optim import fit_adam_scan
+
+    m = _model(rng, n=24)
+    X = jnp.asarray(m.data[0])
+    Y = jnp.asarray(m.data[1])
+    idx_stream = [np.random.default_rng(i).choice(24, 8, replace=False)
+                  for i in range(12)]
+
+    def loss_batch(mm, ib):
+        k = mm.kernel.K(X[ib]) + mm.likelihood.variance.value * jnp.eye(8)
+        r = Y[ib]
+        return jnp.sum(r * jnp.linalg.solve(k, r))
+
+    res_loop = fit_adam(m, lambda mm, ib: loss_batch(mm, ib), steps=12,
+                        lr=1e-2, batch_fn=lambda i: (jnp.asarray(idx_stream[i]),))
+    res_scan = fit_adam_scan(m, loss_batch, steps=12, lr=1e-2,
+                             batch_args=(jnp.asarray(np.stack(idx_stream)),))
+    assert np.isclose(res_loop.fun, res_scan.fun, rtol=1e-10)
+    from oak_tpu.params import flatten_trainable
+
+    v1, _ = flatten_trainable(res_loop.model)
+    v2, _ = flatten_trainable(res_scan.model)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-12)
+
+
+def test_adam_scan_full_batch(rng):
+    from oak_tpu.optim import fit_adam_scan
+
+    m = _model(rng)
+    loss0 = float(m.training_loss())
+    res = fit_adam_scan(m, lambda mm: mm.training_loss(), steps=30, lr=5e-2)
+    assert res.fun < loss0

@@ -391,7 +391,8 @@ class oak_model:
         return total < 1e-4
 
     def optimise_minibatch(self, batch_size: int = 256, steps: int = 2000,
-                           lr: float = 1e-2, seed: int = 0, mesh=None):
+                           lr: float = 1e-2, seed: int = 0, mesh=None,
+                           checkpoint_path=None, checkpoint_every: int = 0):
         """Minibatched Adam on the SVGP ELBO (the scalable alternative to
         full-batch L-BFGS; only valid for SVGP models, whose bound is a sum
         over datapoints).
@@ -402,6 +403,12 @@ class oak_model:
         ICI (parallel/sharding.py). The batch stream is identical to the
         single-device path for the same seed, so trajectories match up to
         floating-point reduction order (tested in tests/test_sharding.py).
+
+        ``checkpoint_path`` + ``checkpoint_every``: mid-training
+        checkpoint/resume (single-device path) — training state (trainable
+        vector, Adam state, step) is written every ``checkpoint_every`` steps
+        and, if the file exists, training resumes from it toward the same
+        ``steps`` total on the identical batch stream (optim.fit_adam_scan).
         """
         if not isinstance(self.m, SVGP):
             raise ValueError("minibatch training requires likelihood='bernoulli' "
@@ -453,14 +460,23 @@ class oak_model:
                 return m.training_loss(Xj[ib], Yj[ib])
 
             res = fit_adam_scan(self.m, loss_fn, steps=steps, lr=lr,
-                                batch_args=(idx,))
+                                batch_args=(idx,),
+                                checkpoint_path=checkpoint_path,
+                                checkpoint_every=checkpoint_every)
         self.m = res.model
         self.timings["optimise_minibatch"] = time.time() - t0
         return res
 
-    def export_predict(self):
+    def export_predict(self, include_var: bool = False):
         """A standalone jitted predict function over raw (unscaled) inputs —
-        the serving export: closes over transforms + model, compiles once."""
+        the serving export: closes over transforms + model, compiles once.
+
+        ``include_var=True`` returns ``(mean, std)`` in the original target
+        units (Gaussian: latent std times the y-scale, plus nothing for the
+        likelihood — it is the *function's* credible band, matching the
+        plots); Bernoulli: ``(prob, std)`` where prob is the Gauss-Hermite
+        posterior-predictive probability and std the Bernoulli outcome's
+        sqrt(p(1-p))."""
         import jax
 
         flows = list(self.input_flows)
@@ -499,7 +515,13 @@ class oak_model:
                 Xs = Xs.at[:, jnp.asarray(cont)].set(scaled)
             mu, var = m.predict_f(Xs)
             if is_bernoulli:
+                if include_var:
+                    p, pvar = m.likelihood.predict_mean_and_var(mu, var)
+                    return p[:, 0], jnp.sqrt(jnp.maximum(pvar, 0.0))[:, 0]
                 return m.likelihood.invlink(mu)[:, 0]
+            if include_var:
+                return ((mu * y_scale + y_mean)[:, 0],
+                        (jnp.sqrt(jnp.maximum(var, 0.0)) * y_scale)[:, 0])
             return (mu * y_scale + y_mean)[:, 0]
 
         return predict

@@ -1,6 +1,15 @@
-from .fit import fit_adam, fit_adam_scan, fit_lbfgs, fit_scipy
+from .fit import (
+    FitResult,
+    fit_adam,
+    fit_adam_scan,
+    fit_lbfgs,
+    fit_scipy,
+    load_train_state,
+    save_train_state,
+)
 from .multistart import fit_lbfgs_multistart
 from .natgrad import fit_natgrad_adam
 
-__all__ = ["fit_scipy", "fit_lbfgs", "fit_adam", "fit_adam_scan",
-           "fit_natgrad_adam", "fit_lbfgs_multistart"]
+__all__ = ["FitResult", "fit_scipy", "fit_lbfgs", "fit_adam", "fit_adam_scan",
+           "fit_natgrad_adam", "fit_lbfgs_multistart", "save_train_state",
+           "load_train_state"]

@@ -28,15 +28,17 @@ from jax import export as jax_export
 
 
 def serialize_predict(oak, path: Optional[Union[str, os.PathLike]] = None,
-                      platforms=None) -> bytes:
+                      platforms=None, include_var: bool = False) -> bytes:
     """Serialize ``oak.export_predict()`` as an AOT artifact.
 
     The batch dimension is symbolic, so one artifact serves any batch size;
     the feature count D is baked in (the preprocessing is per-column).
     ``platforms``: lowering platforms, e.g. ("cpu", "tpu") for an artifact
     that runs on either; default is the current backend only.
+    ``include_var=True`` exports a ``(mean, std)`` artifact (original target
+    units / Bernoulli outcome std) instead of mean-only.
     """
-    predict = oak.export_predict()
+    predict = oak.export_predict(include_var=include_var)
     d = int(np.asarray(oak.xmin).shape[-1])
     (b,) = jax_export.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((b, d), jnp.float32)

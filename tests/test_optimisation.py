@@ -94,3 +94,64 @@ def test_adam_scan_full_batch(rng):
     loss0 = float(m.training_loss())
     res = fit_adam_scan(m, lambda mm: mm.training_loss(), steps=30, lr=5e-2)
     assert res.fun < loss0
+
+
+def test_adam_scan_checkpoint_resume(rng, tmp_path):
+    # interrupt-and-resume reproduces the uninterrupted trajectory exactly
+    import jax.numpy as jnp
+
+    from oak_tpu.optim import fit_adam_scan
+    from oak_tpu.params import flatten_trainable
+
+    m = _model(rng, n=24)
+    X, Y = (jnp.asarray(a) for a in m.data)
+    idx = jnp.asarray(np.stack(
+        [np.random.default_rng(i).choice(24, 8, replace=False)
+         for i in range(10)]))
+
+    def loss_batch(mm, ib):
+        k = mm.kernel.K(X[ib]) + mm.likelihood.variance.value * jnp.eye(8)
+        r = Y[ib]
+        return jnp.sum(r * jnp.linalg.solve(k, r))
+
+    full = fit_adam_scan(m, loss_batch, steps=10, lr=1e-2, batch_args=(idx,))
+
+    ck = str(tmp_path / "train_state.npz")
+    # "crash" after 6 steps...
+    fit_adam_scan(m, loss_batch, steps=6, lr=1e-2, batch_args=(idx,),
+                  checkpoint_path=ck, checkpoint_every=3)
+    # ...then resume toward the same 10-step total on the same stream
+    resumed = fit_adam_scan(m, loss_batch, steps=10, lr=1e-2, batch_args=(idx,),
+                            checkpoint_path=ck, checkpoint_every=3)
+    assert resumed.num_iters == 4  # only the remaining steps ran
+    v1, _ = flatten_trainable(full.model)
+    v2, _ = flatten_trainable(resumed.model)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-12)
+    assert np.isclose(full.fun, resumed.fun, rtol=1e-10)
+
+
+def test_optimise_minibatch_checkpoint(rng, tmp_path):
+    from oak_tpu.model import oak_model
+    from oak_tpu.params import flatten_trainable
+
+    X = rng.normal(size=(64, 2))
+    y = (X[:, 0] > 0).astype(float).reshape(-1, 1)
+    ck = str(tmp_path / "mb.npz")
+
+    def fresh():
+        oak = oak_model(max_interaction_depth=2, likelihood="bernoulli")
+        oak.fit(X, y, optimise=False)
+        return oak
+
+    oak_full = fresh()
+    oak_full.optimise_minibatch(batch_size=16, steps=8, seed=1)
+
+    oak_ck = fresh()
+    oak_ck.optimise_minibatch(batch_size=16, steps=5, seed=1,
+                              checkpoint_path=ck, checkpoint_every=5)
+    oak_ck.m = fresh().m  # wipe the partially-trained params
+    oak_ck.optimise_minibatch(batch_size=16, steps=8, seed=1,
+                              checkpoint_path=ck, checkpoint_every=5)
+    v1, _ = flatten_trainable(oak_full.m)
+    v2, _ = flatten_trainable(oak_ck.m)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-10)

@@ -58,3 +58,25 @@ def test_serialized_bernoulli_probs(rng, tmp_path):
     live = oak.predict(X, clip=True)
     np.testing.assert_allclose(served, live, rtol=1e-3, atol=1e-3)
     assert served.min() >= 0.0 and served.max() <= 1.0
+
+
+def test_serialized_predict_with_uncertainty(rng):
+    oak, X = _fitted(rng)
+    f = deserialize_predict(serialize_predict(oak, include_var=True))
+    mean, std = f(X.astype(np.float32))
+    mean, std = np.asarray(mean), np.asarray(std)
+    np.testing.assert_allclose(mean, oak.predict(X, clip=True),
+                               rtol=1e-4, atol=1e-4)
+    # std in original units: latent std scaled by the target scaler
+    Xs = oak._transform_x(np.clip(X, oak.xmin, oak.xmax))
+    _, var = oak.m.predict_f(Xs)
+    expect = np.sqrt(np.asarray(var))[:, 0] * oak.scaler_y.scale_[0]
+    np.testing.assert_allclose(std, expect, rtol=1e-3, atol=1e-5)
+    assert (std > 0).all()
+
+
+def test_serialized_bernoulli_uncertainty(rng):
+    oak, X = _fitted(rng, likelihood="bernoulli")
+    f = deserialize_predict(serialize_predict(oak, include_var=True))
+    p, std = (np.asarray(a) for a in f(X.astype(np.float32)))
+    np.testing.assert_allclose(std, np.sqrt(p * (1 - p)), rtol=1e-3, atol=1e-4)

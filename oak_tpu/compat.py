@@ -167,3 +167,112 @@ def make_standardizer(x):
         return (jnp.asarray(v) + shift.value) * scale.value
 
     return {"scale": scale, "shift": shift, "forward": forward}
+
+
+# --------------------------------------------------------------------------- #
+# utils.py names — Sobol / components / legacy representation / k-means
+# --------------------------------------------------------------------------- #
+def compute_sobol_oak(model, delta: float, mu: float,
+                      share_var_across_orders=True):
+    """Reference utils.py:338-435. ``delta``/``mu`` are the prior measure's
+    variance/mean; oak_tpu kernels carry their measure, so these are
+    validated against it (the reference call sites pass the hardcoded
+    delta=1, mu=0 of oak_kernel.py:84). Returns (tuples, sobol_values)."""
+    del share_var_across_orders  # read from the kernel pytree itself
+    return _sobol.compute_sobol_oak(model, delta=delta, mu=mu)
+
+
+def get_prediction_component(m, alpha, X=None, share_var_across_orders=True):
+    """Reference utils.py:491-530: per-component predictive means [C, N]."""
+    del share_var_across_orders
+    return _sobol.get_prediction_component(m, alpha=alpha, X=X)
+
+
+def compute_sobol(model, kernel_list, delta, mu, alpha, sparse_gp: bool = True):
+    """Reference utils.py:438-488 (legacy Duvenaud representation): Sobol of
+    explicit product-kernel components via eq (40). delta/mu live inside each
+    kernel's measure here (validated by legacy.grammer_to_kernel)."""
+    del delta, mu
+    from .legacy import compute_sobol as _compute
+
+    X = model.Z.value if sparse_gp else model.data[0]
+    return _compute(X, kernel_list, alpha)
+
+
+def model_to_kernel_list(model, selected_dims):
+    """Reference utils.py:32-42. Accepts a legacy kernel list directly, or a
+    model-like object carrying one (the reference reads m.kernel.kernels;
+    oak_tpu's legacy representation keeps the list itself)."""
+    from .legacy import model_to_kernel_list as _f
+
+    kl = model if isinstance(model, (list, tuple)) else model.kernel.kernels
+    return _f(kl, selected_dims)
+
+
+def extract_active_dims(m):
+    """Reference utils.py:45-60. Accepts a legacy kernel list or a model-like
+    object carrying one."""
+    from .legacy import extract_active_dims as _f
+
+    kl = m if isinstance(m, (list, tuple)) else m.kernel.kernels
+    return _f(kl)
+
+
+def grammer_to_kernel(selected_dims, offset, measure=None,
+                      lengthscales_lo=1e-3, lengthscales_hi=100,
+                      variance_lo=0.01, variance_hi=100):
+    """Reference utils.py:63-113 (random-hyperparameter product kernels)."""
+    from .legacy import grammer_to_kernel as _f
+
+    return _f(selected_dims, offset, measure=measure,
+              lengthscales_lo=lengthscales_lo, lengthscales_hi=lengthscales_hi,
+              variance_lo=variance_lo, variance_hi=variance_hi)
+
+
+def initialize_kmeans_with_binary(X, binary_index, continuous_index=None,
+                                  n_clusters=200):
+    """Reference utils.py:533-552."""
+    from .preprocessing import initialize_kmeans_with_binary as _f
+
+    return _f(np.asarray(X), binary_index, continuous_index, n_clusters)
+
+
+def initialize_kmeans_with_categorical(X, binary_index, categorical_index,
+                                       continuous_index, n_clusters=200):
+    """Reference utils.py:555-574."""
+    from .preprocessing import initialize_kmeans_with_categorical as _f
+
+    return _f(np.asarray(X), binary_index, categorical_index,
+              continuous_index, n_clusters)
+
+
+# --------------------------------------------------------------------------- #
+# model_utils.py names — misc helpers
+# --------------------------------------------------------------------------- #
+def get_kmeans_centers(X, K: int = 500):
+    """Reference model_utils.py:31-41."""
+    from .preprocessing import get_kmeans_centers as _f
+
+    return _f(np.asarray(X), K)
+
+
+def estimate_one_dim_gmm(K: int, X):
+    """Reference model_utils.py:753-770 (spherical GMM -> MOGMeasure)."""
+    from .model import estimate_one_dim_gmm as _f
+
+    return _f(K, np.asarray(X))
+
+
+def apply_normalise_flow(X, input_flows):
+    """Reference model_utils.py:179-191 (per-dim flow application)."""
+    from .model import apply_normalise_flow as _f
+
+    return _f(X, input_flows)
+
+
+# oak_kernel.py name
+def get_list_representation(kernel, num_dims, share_var_across_orders=True):
+    """Reference oak_kernel.py:338-364."""
+    from .kernels.oak_kernel import get_list_representation as _f
+
+    return _f(kernel, num_dims, share_var_across_orders)

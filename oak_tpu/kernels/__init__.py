@@ -1,7 +1,9 @@
 from .oak_kernel import (
+    KernelComponent,
     OAKKernel,
     UnconstrainedRBF,
     component_index_tuples,
+    get_list_representation,
     kernel_K,
     kernel_K_diag,
 )
@@ -10,7 +12,9 @@ from .ortho_categorical import OrthogonalCategorical
 from .ortho_rbf import OrthogonalRBF
 
 __all__ = [
+    "KernelComponent",
     "OAKKernel",
+    "get_list_representation",
     "UnconstrainedRBF",
     "OrthogonalBinary",
     "OrthogonalCategorical",

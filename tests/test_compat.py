@@ -114,3 +114,56 @@ def test_private_calculate_features_alias(rng):
                          rng.normal(size=30)])
     cont, bins, cats, p0, p = compat._calculate_features(X, None, [0])
     assert bins == [0] and cont == [1]
+
+
+def test_every_reference_public_name_exists():
+    """Every public function the reference exports (oak/utils.py,
+    model_utils.py, oak_kernel.py, normalising_flow.py module surfaces that
+    example/user code imports) resolves in oak_tpu.compat."""
+    from oak_tpu import compat
+
+    reference_names = [
+        # utils.py
+        "compute_L", "compute_L_binary_kernel", "compute_L_categorical_kernel",
+        "compute_L_empirical_measure", "compute_sobol_oak", "compute_sobol",
+        "get_model_sufficient_statistics", "get_prediction_component",
+        "model_to_kernel_list", "extract_active_dims", "grammer_to_kernel",
+        "initialize_kmeans_with_binary", "initialize_kmeans_with_categorical",
+        # model_utils.py
+        "save_model", "load_model", "get_kmeans_centers",
+        "estimate_one_dim_gmm", "apply_normalise_flow",
+        # oak_kernel.py
+        "bounded_param", "get_list_representation",
+        # normalising_flow.py
+        "make_sinharcsinh", "make_standardizer",
+    ]
+    missing = [n for n in reference_names if not callable(getattr(compat, n, None))]
+    assert not missing, f"compat surface missing: {missing}"
+
+
+def test_compat_sobol_and_components_roundtrip(rng):
+    from oak_tpu import compat
+    from oak_tpu.model import oak_model
+
+    X = rng.normal(size=(25, 2))
+    y = (np.sin(X[:, 0]) + 0.3 * X[:, 1]).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2)
+    oak.fit(X, y, optimise=False)
+    oak.optimise(max_iters=15)
+
+    tuples, sob = compat.compute_sobol_oak(oak.m, 1.0, 0.0)
+    assert len(tuples) == len(np.asarray(sob)) == 3
+    alpha = compat.get_model_sufficient_statistics(oak.m, get_L=False)
+    comps = np.asarray(compat.get_prediction_component(oak.m, alpha))
+    assert comps.shape[0] == 3
+
+    dims, kcomps = compat.get_list_representation(oak.m.kernel, 2)
+    assert dims == [[], [0], [1], [0, 1]]
+
+    kl = compat.grammer_to_kernel([[0], [1]], 0)
+    assert compat.extract_active_dims(kl) == [[0], [1]]
+    reordered = compat.model_to_kernel_list(kl, [[1], [0]])
+    assert compat.extract_active_dims(reordered) == [[1], [0]]
+    vals = compat.compute_sobol(oak.m, kl, 1.0, 0.0, np.asarray(alpha),
+                                sparse_gp=False)
+    assert len(vals) == 2

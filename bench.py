@@ -87,12 +87,16 @@ def run_bench(args):
         steps_per_sec, loss = float("nan"), jnp.asarray(float("nan"))
         trained = model
     else:
+        # timer boundaries use device_get, NOT block_until_ready: through the
+        # axon socket relay block_until_ready returns before the device has
+        # drained (measured: block 0.48 s vs true 2.9 s on a 500-matmul scan)
+        # and silently under-reports; a value fetch is the only true sync
         vec, loss = train(vec0)  # warmup/compile
-        jax.block_until_ready(loss)
+        jax.device_get(loss)
 
         t0 = time.perf_counter()
         vec, loss = train(vec0)
-        jax.block_until_ready(loss)
+        jax.device_get(loss)
         dt = time.perf_counter() - t0
         steps_per_sec = args.steps / dt
         trained = unflatten(vec)
@@ -164,12 +168,15 @@ def run_profile(args):
     vec0, unflatten = flatten_trainable(model)
 
     def timeit(f, *a, reps=30):
+        # chain a data dependence through the reps and device_get the result:
+        # the relay's block_until_ready is an unreliable fence (see run_bench)
+        # and identical repeated calls can pipeline to apparent-zero cost
         o = f(*a)
-        jax.block_until_ready(o)
+        jax.device_get(jax.tree_util.tree_leaves(o)[0])
         t0 = time.perf_counter()
         for _ in range(reps):
             o = f(*a)
-        jax.block_until_ready(o)
+        jax.device_get(jax.tree_util.tree_leaves(o)[0])
         return round((time.perf_counter() - t0) / reps * 1000, 3)
 
     opt = optax.adam(1e-2)

@@ -261,12 +261,55 @@ def factor_form(kernel, x: jnp.ndarray, num_points: int = 64):
 # --------------------------------------------------------------------------- #
 # Sobol indices over all components
 # --------------------------------------------------------------------------- #
+def _stackable_groups(kernels) -> List[List[int]]:
+    """Group kernel indices whose pytrees stack (same type, same treedef after
+    normalizing the static active_dim, same leaf shapes) — each group can run
+    per-dim computations as ONE vmapped call instead of a Python loop of
+    launches (at D=32 the loop of tiny grams costs ~10 ms of pure launch
+    overhead on TPU)."""
+    groups: List[List[int]] = []
+    keys = []
+    for i, k in enumerate(kernels):
+        k0 = k.replace(active_dim=0)
+        key = (jax.tree_util.tree_structure(k0),
+               tuple(jnp.shape(l) for l in jax.tree_util.tree_leaves(k0)))
+        for g, kk in zip(groups, keys):
+            if kk == key:
+                g.append(i)
+                break
+        else:
+            groups.append([i])
+            keys.append(key)
+    return groups
+
+
+def _stack_group(kernels, idx):
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *[kernels[i].replace(active_dim=0) for i in idx])
+
+
+def _per_dim_batched(oak: OAKKernel, X: jnp.ndarray, fn):
+    """Evaluate ``fn(kernel, column)`` for every constituent kernel, vmapping
+    each stackable group. Returns a list in dim order (entries may share a
+    batched buffer)."""
+    out = [None] * len(oak.kernels)
+    for idx in _stackable_groups(oak.kernels):
+        cols = jnp.stack([X[:, oak.kernels[i].active_dim] for i in idx])
+        if len(idx) == 1:
+            out[idx[0]] = fn(oak.kernels[idx[0]], cols[0])
+            continue
+        res = jax.vmap(fn)(_stack_group(oak.kernels, idx), cols)
+        for j, i in enumerate(idx):
+            out[i] = jax.tree_util.tree_map(lambda r: r[j], res)
+    return out
+
+
 def _dim_L_stack(oak: OAKKernel, X: jnp.ndarray, delta=None, mu=None) -> jnp.ndarray:
     """[D + 1, N, N]: per-dim L matrices plus a trailing all-ones identity
     slice used as Hadamard padding for variable-order components."""
-    mats = []
-    for k in oak.kernels:
-        mats.append(compute_L_for_kernel(k, X[:, k.active_dim], delta, mu))
+    mats = _per_dim_batched(
+        oak, X, lambda k, x: compute_L_for_kernel(k, x, delta, mu))
     mats.append(jnp.ones_like(mats[0]))
     return jnp.stack(mats, axis=0)
 
@@ -384,6 +427,19 @@ def _ladder_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,
         lasts_j = jnp.asarray(np.asarray(lasts, np.int32))
         vals[k] = ext[rows_j, lasts_j]
         if k < max_order:
+            if (k == 2 and max_order == 3
+                    and D * D * X * itemsize <= _LADDER_BYTES_CAP):
+                # depth-3 fast path: all triple quadratic forms as ONE
+                # einsum M3[r,l,d] = sum_x Q1[r] Lf[l] Lf[d] — no [C_2, N^2]
+                # prefix materialization and no row gathers (measured 3 ms vs
+                # 18 ms device time at D=32, N=512; over-computes the D^3/6
+                # redundancy but stays MXU-shaped)
+                import itertools as it
+
+                M3 = jnp.einsum("rx,lx,dx->rld", Q, Lf, Lf)
+                trip = np.asarray(list(it.combinations(range(D), 3)), np.int32)
+                vals[3] = M3[trip[:, 0], trip[:, 1], trip[:, 2]]
+                break
             if len(new_prefixes) * X * itemsize > _LADDER_BYTES_CAP:
                 # remaining orders: chunked gather-product (memory-bounded)
                 vals.update(_chunked_quadforms(Lstack, a, D, k + 1, max_order))
@@ -433,7 +489,7 @@ def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...]) -> jnp.ndar
     parts = {}
     hadamard_idx: List[int] = []
     if all_factor:
-        factors = [factor_form(k, X[:, k.active_dim]) for k in oak.kernels]
+        factors = _per_dim_batched(oak, X, factor_form)
         Qmax = max(f[0].shape[1] for f in factors)
 
         def pad(F, w):
@@ -488,20 +544,29 @@ def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...]) -> jnp.ndar
             RH = RH.at[np.asarray(rows, np.int32)].set(ladder[k][p])
         parts["RH"] = RH
 
-    # assemble in component order
-    values = []
+    # assemble in component order with ONE gather from [R1 | R2 | RH] — a
+    # per-tuple Python loop of dynamic slices emits thousands of tiny HLOs
+    # (5,488 at D=32 depth 3) that alone cost ~25 ms on-chip and dominate
+    # compile time
+    blocks, offsets, off = [], {}, 0
+    for name in ("R1", "R2", "RH"):
+        if name in parts:
+            blocks.append(parts[name])
+            offsets[name] = off
+            off += parts[name].shape[0]
+    src = np.empty(len(tuples), np.int32)
     i2 = 0
     ih = 0
     for i, t in enumerate(tuples):
         if all_factor and len(t) == 1:
-            values.append(parts["R1"][t[0]])
+            src[i] = offsets["R1"] + t[0]
         elif all_factor and len(t) == 2:
-            values.append(parts["R2"][i2])
+            src[i] = offsets["R2"] + i2
             i2 += 1
         else:
-            values.append(parts["RH"][ih])
+            src[i] = offsets["RH"] + ih
             ih += 1
-    values = jnp.stack(values)
+    values = jnp.concatenate(blocks)[jnp.asarray(src)]
 
     orders = jnp.asarray([len(t) for t in tuples], jnp.int32)
     scales = _order_scales(oak, orders, values.dtype)
@@ -529,7 +594,7 @@ def _sobol_by_order_impl(model, depth: int) -> jnp.ndarray:
     oak: OAKKernel = model.kernel
     X = jnp.asarray(_model_X(model))
     a = model.posterior_alpha()[:, 0]
-    mats = [compute_L_for_kernel(k, X[:, k.active_dim]) for k in oak.kernels]
+    mats = _per_dim_batched(oak, X, compute_L_for_kernel)
     e = newton_girard(mats, depth)[1:]  # orders 1..P
     orders = jnp.arange(1, depth + 1)
     scales = _order_scales(oak, orders, mats[0].dtype)
@@ -559,8 +624,19 @@ def _prediction_component_impl(model, X, depth: int) -> jnp.ndarray:
     a = model.posterior_alpha()[:, 0]
     tuples = component_index_tuples(oak.num_dims, depth)[1:]
 
-    grams = [kernel_K(k, X[:, k.active_dim], Xc[:, k.active_dim])
-             for k in oak.kernels]
+    grams = [None] * len(oak.kernels)
+    for gidx in _stackable_groups(oak.kernels):
+        if len(gidx) == 1:
+            i = gidx[0]
+            k = oak.kernels[i]
+            grams[i] = kernel_K(k, X[:, k.active_dim], Xc[:, k.active_dim])
+            continue
+        c1 = jnp.stack([X[:, oak.kernels[i].active_dim] for i in gidx])
+        c2 = jnp.stack([Xc[:, oak.kernels[i].active_dim] for i in gidx])
+        kk = _stack_group(oak.kernels, gidx)
+        res = jax.vmap(kernel_K)(kk, c1, c2)
+        for j, i in enumerate(gidx):
+            grams[i] = res[j]
     grams.append(jnp.ones_like(grams[0]))
     G = jnp.stack(grams, axis=0)  # [D+1, N, M]
 

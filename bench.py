@@ -149,11 +149,13 @@ def run_bench(args):
 
 
 def run_profile(args):
-    """Phase breakdown of the ELBO training step at bench shapes (the
-    VERDICT-r1 profiling ask). Isolated-call numbers carry ~1.2 ms of fixed
-    per-dispatch overhead (unflatten scatter + relay latency; the dispatch
-    floor itself is ~0.02 ms) — within the single jitted step those phases
-    fuse, so the deltas, not the absolute isolated times, are the signal."""
+    """Phase breakdown of the ELBO training step at bench shapes. Each phase
+    runs as a 30-iteration device-resident lax.scan with a real data
+    dependence between iterations (so XLA cannot hoist or DCE the body) and
+    the timer is fenced by device_get of ONE scalar — block_until_ready is
+    not a reliable fence through the axon relay, and fetching large results
+    inside the timed region would measure the relay's ~11 MB/s link instead
+    of the device."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -166,57 +168,63 @@ def run_profile(args):
     Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
     Zj = jnp.asarray(model.Z.value)
     vec0, unflatten = flatten_trainable(model)
+    R = 30
 
-    def timeit(f, *a, reps=30):
-        # chain a data dependence through the reps and device_get the result:
-        # the relay's block_until_ready is an unreliable fence (see run_bench)
-        # and identical repeated calls can pipeline to apparent-zero cost
-        o = f(*a)
-        jax.device_get(jax.tree_util.tree_leaves(o)[0])
+    def scan_time(body):
+        """body: vec -> scalar. Times R chained evaluations on-device."""
+
+        @jax.jit
+        def run(vec):
+            def one(c, _):
+                val = body(vec * (1.0 + c * 1e-24))
+                return c + val * 1e-24, None
+
+            out, _ = jax.lax.scan(one, jnp.zeros((), vec.dtype), None, length=R)
+            return out
+
+        jax.device_get(run(vec0))
         t0 = time.perf_counter()
-        for _ in range(reps):
-            o = f(*a)
-        jax.device_get(jax.tree_util.tree_leaves(o)[0])
-        return round((time.perf_counter() - t0) / reps * 1000, 3)
-
-    opt = optax.adam(1e-2)
-    st0 = opt.init(vec0)
-
-    @jax.jit
-    def step(v, st):
-        l, g = jax.value_and_grad(
-            lambda u: unflatten(u).training_loss(Xj, Yj))(v)
-        up, st = opt.update(g, st)
-        return optax.apply_updates(v, up), st, l
+        jax.device_get(run(vec0))
+        return round((time.perf_counter() - t0) / R * 1000, 3)
 
     out = {
         "metric": "elbo_step_profile_ms",
         "backend": jax.default_backend(),
         "config": f"N={args.n} D={args.d} M={args.m} depth={args.depth}",
-        "dispatch_floor": timeit(jax.jit(lambda x: x + 1), jnp.ones(())),
     }
     # the default FORWARD is "xla"; pin "pallas" so this label actually
-    # times the handwritten kernel
-    prev_fwd = ogp.FORWARD
-    try:
-        ogp.FORWARD = "pallas"
-        out["kuf_gram_fwd_pallas"] = timeit(
-            jax.jit(lambda v: ogp.oak_gram(unflatten(v).kernel, Xj, Zj)), vec0)
-    finally:
-        ogp.FORWARD = prev_fwd
+    # times the handwritten kernel (TPU only — no compiled Pallas on CPU)
+    if jax.default_backend() == "tpu":
+        prev_fwd = ogp.FORWARD
+        try:
+            ogp.FORWARD = "pallas"
+            out["kuf_gram_fwd_pallas"] = scan_time(
+                lambda v: jnp.sum(ogp.oak_gram(unflatten(v).kernel, Xj, Zj)))
+        finally:
+            ogp.FORWARD = prev_fwd
+
+    opt = optax.adam(1e-2)
+    st0 = opt.init(vec0)
+
+    def full_step(v):
+        l, g = jax.value_and_grad(
+            lambda u: unflatten(u).training_loss(Xj, Yj))(v)
+        up, _ = opt.update(g, st0)
+        return l + jnp.sum(optax.apply_updates(v, up))
+
     out.update({
-        "kuf_gram_fwd_xla": timeit(
-            jax.jit(lambda v: ogp.oak_gram_xla(unflatten(v).kernel, Xj, Zj)), vec0),
-        "kuf_gram_fwd_bwd": timeit(
-            jax.jit(lambda v: jax.grad(
-                lambda u: ogp.oak_gram(unflatten(u).kernel, Xj, Zj).sum())(v)),
-            vec0),
-        "kuu_gram_cholesky": timeit(
-            jax.jit(lambda v: safe_cholesky(unflatten(v).kernel.K(Zj))), vec0),
-        "k_diag": timeit(jax.jit(lambda v: unflatten(v).kernel.K_diag(Xj)), vec0),
-        "elbo_fwd": timeit(
-            jax.jit(lambda v: unflatten(v).training_loss(Xj, Yj)), vec0),
-        "full_step": timeit(lambda v: step(v, st0)[2], vec0),
+        "kuf_gram_fwd_xla": scan_time(
+            lambda v: jnp.sum(ogp.oak_gram_xla(unflatten(v).kernel, Xj, Zj))),
+        "kuf_gram_fwd_bwd": scan_time(
+            lambda v: jnp.sum(jax.grad(
+                lambda u: ogp.oak_gram(unflatten(u).kernel, Xj, Zj).sum())(v))),
+        "kuu_gram_cholesky": scan_time(
+            lambda v: jnp.sum(safe_cholesky(unflatten(v).kernel.K(Zj))[0])),
+        "k_diag": scan_time(
+            lambda v: jnp.sum(unflatten(v).kernel.K_diag(Xj))),
+        "elbo_fwd": scan_time(
+            lambda v: unflatten(v).training_loss(Xj, Yj)),
+        "full_step": scan_time(full_step),
     })
     print(json.dumps(out))
 

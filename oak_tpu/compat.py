@@ -174,10 +174,11 @@ def make_standardizer(x):
 # --------------------------------------------------------------------------- #
 def compute_sobol_oak(model, delta: float, mu: float,
                       share_var_across_orders=True):
-    """Reference utils.py:338-435. ``delta``/``mu`` are the prior measure's
-    variance/mean; oak_tpu kernels carry their measure, so these are
-    validated against it (the reference call sites pass the hardcoded
-    delta=1, mu=0 of oak_kernel.py:84). Returns (tuples, sobol_values)."""
+    """Reference utils.py:338-435. ``delta`` (stddev) / ``mu`` are the prior
+    measure's parameters; oak_tpu kernels carry their measure, so these are
+    validated against it and a DIFFERING override raises NotImplementedError
+    (the reference call sites pass the hardcoded delta=1, mu=0 of
+    oak_kernel.py:84). Returns (tuples, sobol_values)."""
     del share_var_across_orders  # read from the kernel pytree itself
     return _sobol.compute_sobol_oak(model, delta=delta, mu=mu)
 

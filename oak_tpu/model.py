@@ -307,6 +307,11 @@ class oak_model:
         t0 = time.time()
         self.alpha = None
         loss = self._loss_fn()
+        if restarts > 0 and self.optimizer != "lbfgs":
+            # silently running a single start while the caller believes K
+            # restarts ran would misattribute the result
+            raise ValueError("restarts > 0 requires optimizer='lbfgs' "
+                             f"(got optimizer={self.optimizer!r})")
         if self.optimizer == "scipy":
             res = fit_scipy(self.m, loss, method="BFGS", max_iters=max_iters,
                             jit=compile)
@@ -354,6 +359,10 @@ class oak_model:
                     # batched vmapped L-BFGS and keep the best
                     # non-degenerate fit by loss (= log marginal incl.
                     # priors), falling back to the original if none improves.
+                    # warm_adam_steps=300 for BOTH lanes mirrors the round-2
+                    # sequential fallback's seed-0 (warm) lane, the recipe
+                    # measured to escape on the autoMPG folds; the full-depth
+                    # example runs were re-validated with this batched form
                     retry = fit_lbfgs_multistart(
                         init, loss, n_starts=2, jitter=0.3, seed=0,
                         max_iters=max_iters, warm_adam_steps=300,
@@ -405,10 +414,10 @@ class oak_model:
         floating-point reduction order (tested in tests/test_sharding.py).
 
         ``checkpoint_path`` + ``checkpoint_every``: mid-training
-        checkpoint/resume (single-device path) — training state (trainable
-        vector, Adam state, step) is written every ``checkpoint_every`` steps
-        and, if the file exists, training resumes from it toward the same
-        ``steps`` total on the identical batch stream (optim.fit_adam_scan).
+        checkpoint/resume (both paths) — training state (trainable vector,
+        Adam state, step) is written every ``checkpoint_every`` steps and, if
+        the file exists, training resumes from it toward the same ``steps``
+        total on the identical batch stream.
         """
         if not isinstance(self.m, SVGP):
             raise ValueError("minibatch training requires likelihood='bernoulli' "
@@ -427,16 +436,36 @@ class oak_model:
 
         t0 = time.time()
         if mesh is not None:
-            from .optim.fit import FitResult
-            from .parallel import data_parallel_elbo_step, shard_batch
+            import os as _os
+
+            from .optim.fit import (FitResult, load_train_state,
+                                    save_train_state)
+            from .parallel import data_parallel_elbo_step, replicate, shard_batch
 
             Xh, Yh = np.asarray(X), np.asarray(Y)
             step, (vec, opt_state, unflatten) = data_parallel_elbo_step(
                 self.m, mesh, learning_rate=lr)
+            import jax
+
+            start = 0
+            if (checkpoint_path is not None
+                    and _os.path.exists(checkpoint_path)):
+                v_h, opt_h, start = load_train_state(
+                    checkpoint_path, jax.device_get(opt_state))
+                vec = replicate(mesh, jnp.asarray(v_h))
+                opt_state = replicate(
+                    mesh, jax.tree_util.tree_map(jnp.asarray, opt_h))
             loss = np.inf
-            for idx in idx_stream:
-                Xb, Yb = shard_batch(mesh, Xh[idx], Yh[idx])
+            for i in range(start, steps):
+                Xb, Yb = shard_batch(mesh, Xh[idx_stream[i]], Yh[idx_stream[i]])
                 vec, opt_state, loss = step(vec, opt_state, Xb, Yb)
+                if (checkpoint_path is not None and checkpoint_every > 0
+                        and (i + 1) % checkpoint_every == 0):
+                    save_train_state(checkpoint_path, jax.device_get(vec),
+                                     jax.device_get(opt_state), i + 1)
+            if checkpoint_path is not None and start < steps:
+                save_train_state(checkpoint_path, jax.device_get(vec),
+                                 jax.device_get(opt_state), steps)
             # pull the trained vector off the mesh before unflattening:
             # eager ops on mesh-committed arrays compile all-device
             # programs whose collectives can deadlock a starved host
@@ -444,8 +473,9 @@ class oak_model:
             import jax
 
             vec = jnp.asarray(jax.device_get(vec))
-            res = FitResult(model=unflatten(vec), fun=float(loss),
-                            num_iters=steps, success=True)
+            res = FitResult(model=unflatten(vec),
+                            fun=float(loss) if start < steps else float("nan"),
+                            num_iters=steps - start, success=True)
         else:
             from .optim.fit import fit_adam_scan
 
@@ -476,7 +506,17 @@ class oak_model:
         likelihood — it is the *function's* credible band, matching the
         plots); Bernoulli: ``(prob, std)`` where prob is the Gauss-Hermite
         posterior-predictive probability and std the Bernoulli outcome's
-        sqrt(p(1-p))."""
+        sqrt(p(1-p)).
+
+        NOTE (Bernoulli): the two exports deliberately mirror the two live
+        APIs, which differ — ``include_var=False`` serves the plug-in
+        ``invlink(E[f])`` exactly like ``oak_model.predict`` (the reference's
+        classification-script convention, uci_classification_train.py:128),
+        while ``include_var=True`` serves the posterior-predictive
+        ``E[invlink(f)]`` exactly like ``oak_model.predict_proba``. With
+        nonzero latent variance these probabilities differ (the predictive
+        mean shrinks toward 0.5); pick the artifact matching the live API
+        your consumers compare against."""
         import jax
 
         flows = list(self.input_flows)

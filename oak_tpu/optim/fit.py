@@ -79,11 +79,12 @@ def fit_scipy(model, loss_fn: Callable, method: str = "BFGS",
                      message=str(res.message))
 
 
-def fit_lbfgs(model, loss_fn: Callable, max_iters: int = 500,
-              tol: float = 1e-8, memory_size: int = 30) -> FitResult:
-    """On-device L-BFGS with zoom linesearch; single jitted while_loop."""
-    vec0, unflatten, loss_vec = _vector_loss(model, loss_fn)
-
+def lbfgs_loop(loss_vec: Callable, max_iters: int, tol: float,
+               memory_size: int = 30):
+    """The single L-BFGS while_loop used by both ``fit_lbfgs`` and the
+    batched multistart (optim/multistart.py): returns a traceable
+    ``run(vec) -> (vec, value, grad, iters)``. One definition so convergence
+    semantics cannot silently diverge between the two optimizers."""
     opt = optax.lbfgs(memory_size=memory_size)
     value_and_grad = optax.value_and_grad_from_state(loss_vec)
 
@@ -102,18 +103,28 @@ def fit_lbfgs(model, loss_fn: Callable, max_iters: int = 500,
         return jnp.logical_and(it < max_iters,
                                jnp.logical_or(it == 0, gnorm > tol))
 
-    @jax.jit
     def run(vec):
         state = opt.init(vec)
-        return jax.lax.while_loop(cond, step, (vec, state, 0))
+        vec, state, it = jax.lax.while_loop(cond, step, (vec, state, 0))
+        value = optax.tree_utils.tree_get(state, "value")
+        grad = optax.tree_utils.tree_get(state, "grad")
+        return vec, value, grad, it
 
-    vec, state, iters = run(vec0)
+    return run
+
+
+def fit_lbfgs(model, loss_fn: Callable, max_iters: int = 500,
+              tol: float = 1e-8, memory_size: int = 30) -> FitResult:
+    """On-device L-BFGS with zoom linesearch; single jitted while_loop."""
+    vec0, unflatten, loss_vec = _vector_loss(model, loss_fn)
+
+    run = jax.jit(lbfgs_loop(loss_vec, max_iters, tol, memory_size))
+    vec, value, grad, iters = run(vec0)
     fitted = unflatten(vec)
     # value/grad at the accepted iterate live in the optimizer state —
     # no extra (un-jitted) loss evaluation needed
-    grad = optax.tree_utils.tree_get(state, "grad")
-    value = optax.tree_utils.tree_get(state, "value")
     gnorm = float(jnp.sqrt(jnp.sum(grad * grad)))
+    value = float(value)
     iters = int(iters)
     converged = gnorm <= tol
     msg = (f"gradient norm {gnorm:.3e} <= tol after {iters} iterations"
@@ -184,7 +195,13 @@ def save_train_state(path, vec, opt_state, step: int) -> None:
     file stays a plain array archive (no pickled objects)."""
     leaves = jax.tree_util.tree_leaves(opt_state)
     arrays = {f"opt_{i}": np.asarray(a) for i, a in enumerate(leaves)}
-    np.savez(path, vec=np.asarray(vec), step=np.asarray(step), **arrays)
+    # atomic: a crash mid-write must not corrupt the only checkpoint (the
+    # whole point of the file is surviving crashes); write through a file
+    # object so np.savez cannot append ".npz" to the tmp name
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, vec=np.asarray(vec), step=np.asarray(step), **arrays)
+    os.replace(tmp, path)
 
 
 def load_train_state(path, template_opt_state, dtype=None):
@@ -251,6 +268,13 @@ def fit_adam_scan(model, loss_fn: Callable, steps: int = 1000, lr: float = 1e-2,
     if checkpoint_path is not None and resume and os.path.exists(checkpoint_path):
         vec, opt_state, start = load_train_state(checkpoint_path, opt_state,
                                                  dtype=vec0.dtype)
+    if start >= steps:
+        # checkpoint already covers the requested run: nothing to do, and
+        # that is success, not a failed fit
+        return FitResult(model=unflatten(vec), fun=float("nan"), num_iters=0,
+                         success=True,
+                         message=f"checkpoint at step {start} >= steps={steps};"
+                                 " nothing to run")
 
     chunk = (checkpoint_every if (checkpoint_path is not None
                                   and checkpoint_every > 0) else steps - start)

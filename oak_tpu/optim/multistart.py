@@ -84,29 +84,14 @@ def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
                                    length=warm_adam_steps)
         return vec
 
-    # ---- batched L-BFGS: vmap of the single-start while_loop ----
-    lbfgs = optax.lbfgs(memory_size=memory_size)
-    value_and_grad = optax.value_and_grad_from_state(loss_vec)
+    # ---- batched L-BFGS: vmap of the SAME while_loop fit_lbfgs runs
+    # (optim/fit.py::lbfgs_loop — one definition, one convergence policy) ----
+    from .fit import lbfgs_loop
+
+    loop = lbfgs_loop(loss_vec, max_iters, tol, memory_size)
 
     def run_one(vec):
-        def step(carry):
-            v, state, it = carry
-            value, grad = value_and_grad(v, state=state)
-            updates, state = lbfgs.update(grad, state, v, value=value,
-                                          grad=grad, value_fn=loss_vec)
-            return optax.apply_updates(v, updates), state, it + 1
-
-        def cond(carry):
-            v, state, it = carry
-            grad = optax.tree_utils.tree_get(state, "grad")
-            gnorm = jnp.sqrt(jnp.sum(grad * grad))
-            return jnp.logical_and(it < max_iters,
-                                   jnp.logical_or(it == 0, gnorm > tol))
-
-        state0 = lbfgs.init(vec)
-        v, state, it = jax.lax.while_loop(cond, step, (vec, state0, 0))
-        value = optax.tree_utils.tree_get(state, "value")
-        grad = optax.tree_utils.tree_get(state, "grad")
+        v, value, grad, it = loop(vec)
         # a restart that diverged reports inf so argmin never selects it
         value = jnp.where(jnp.isfinite(value), value, jnp.inf)
         return v, value, jnp.sqrt(jnp.sum(grad * grad)), it
@@ -132,6 +117,13 @@ def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
         run = jax.jit(pipeline)
 
     vecs, values, gnorms, iters = jax.device_get(run(starts))
+
+    if not np.isfinite(values).any():
+        # every restart diverged (e.g. Cholesky failure on all lanes):
+        # return the caller's model untouched rather than NaN parameters
+        return FitResult(model=model, fun=float("inf"), num_iters=0,
+                         success=False,
+                         message=f"all {n_starts} parallel restarts diverged")
 
     order = np.argsort(values, kind="stable")
     best = int(order[0])

@@ -36,7 +36,11 @@ def serialize_predict(oak, path: Optional[Union[str, os.PathLike]] = None,
     ``platforms``: lowering platforms, e.g. ("cpu", "tpu") for an artifact
     that runs on either; default is the current backend only.
     ``include_var=True`` exports a ``(mean, std)`` artifact (original target
-    units / Bernoulli outcome std) instead of mean-only.
+    units / Bernoulli outcome std) instead of mean-only. For Bernoulli
+    models the two artifacts serve DIFFERENT probabilities by design:
+    mean-only mirrors ``oak_model.predict`` (plug-in invlink(E[f]));
+    (mean, std) mirrors ``oak_model.predict_proba`` (posterior-predictive
+    E[invlink(f)]) — see ``oak_model.export_predict``.
     """
     predict = oak.export_predict(include_var=include_var)
     d = int(np.asarray(oak.xmin).shape[-1])

@@ -576,13 +576,39 @@ def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...]) -> jnp.ndar
 _sobol_values_jit = jax.jit(_sobol_values_impl, static_argnums=(1, 2))
 
 
+def _check_measure_override(oak: OAKKernel, delta, mu) -> None:
+    """The Sobol measure lives inside each kernel (unlike the reference,
+    which threads delta/mu through every call); an override that differs
+    from the kernels' own measures would silently compute under the wrong
+    measure, so reject it loudly. delta is a STDDEV (the reference passes
+    delta=1, mu=0 matching its hardcoded N(0, 1), oak_kernel.py:84)."""
+    if delta is None and mu is None:
+        return
+    for k in oak.kernels:
+        if isinstance(k, OrthogonalRBF) and isinstance(k.measure, GaussianMeasure):
+            m_mu = float(np.asarray(jax.device_get(k.measure.mu)))
+            m_sd = float(np.sqrt(np.asarray(jax.device_get(k.measure.var))))
+            if ((delta is not None and not np.isclose(float(delta), m_sd))
+                    or (mu is not None and not np.isclose(float(mu), m_mu))):
+                raise NotImplementedError(
+                    f"Sobol measure override N({mu}, {delta}^2) differs from "
+                    f"the kernel's own measure N({m_mu}, {m_sd}^2); rebuild "
+                    "the kernel with the desired measure instead — oak_tpu "
+                    "kernels carry their measure (reference utils.py:338)")
+
+
 def compute_sobol_oak(model, delta=None, mu=None,
                       max_interaction_depth: Optional[int] = None
                       ) -> Tuple[List[List[int]], np.ndarray]:
     """Sobol index of every additive component (skipping the constant), in the
     reference's component order (utils.py:338-435). Returns (tuples, values).
-    One jitted computation; cached per (model structure, depth, routing)."""
+    One jitted computation; cached per (model structure, depth, routing).
+
+    ``delta``/``mu`` (reference API) are accepted for a measure MATCHING the
+    kernels' own (the reference always passes delta=1, mu=0); a differing
+    override raises rather than silently computing under the wrong measure."""
     oak: OAKKernel = model.kernel
+    _check_measure_override(oak, delta, mu)
     depth = max_interaction_depth or oak.max_interaction_depth
     tuples = component_index_tuples(oak.num_dims, depth)[1:]
     routing = _factor_routing(oak)
@@ -612,6 +638,7 @@ def compute_sobol_by_order(model, delta=None, mu=None,
     (uci_regression_train.py:157-160). NOTE: shares the Hadamard quadratic
     form's conditioning; prefer compute_sobol_oak sums for pathological
     (near-noiseless, unbounded) fits."""
+    _check_measure_override(model.kernel, delta, mu)
     depth = max_depth or model.kernel.max_interaction_depth
     return np.asarray(_sobol_by_order_jit(model, depth))
 

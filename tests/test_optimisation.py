@@ -155,3 +155,64 @@ def test_optimise_minibatch_checkpoint(rng, tmp_path):
     v1, _ = flatten_trainable(oak_full.m)
     v2, _ = flatten_trainable(oak_ck.m)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-10)
+
+
+def test_adam_scan_resume_complete_is_success(rng, tmp_path):
+    import jax.numpy as jnp
+
+    from oak_tpu.optim import fit_adam_scan
+
+    m = _model(rng, n=20)
+    ck = str(tmp_path / "done.npz")
+    loss = lambda mm: mm.training_loss()  # noqa: E731
+    fit_adam_scan(m, loss, steps=4, lr=1e-2, checkpoint_path=ck,
+                  checkpoint_every=2)
+    res = fit_adam_scan(m, loss, steps=4, lr=1e-2, checkpoint_path=ck,
+                        checkpoint_every=2)
+    assert res.success and res.num_iters == 0
+    assert "nothing to run" in res.message
+    # the returned model is the checkpointed (trained) one, not the init
+    assert float(loss(res.model)) < float(loss(m))
+
+
+def test_optimise_minibatch_mesh_checkpoint(rng, tmp_path):
+    from oak_tpu.model import oak_model
+    from oak_tpu.parallel import make_mesh
+    from oak_tpu.params import flatten_trainable
+
+    X = rng.normal(size=(64, 2))
+    y = (X[:, 0] > 0).astype(float).reshape(-1, 1)
+    mesh = make_mesh(4)
+    ck = str(tmp_path / "mesh_ck.npz")
+
+    def fresh():
+        oak = oak_model(max_interaction_depth=2, likelihood="bernoulli")
+        oak.fit(X, y, optimise=False)
+        return oak
+
+    full = fresh()
+    full.optimise_minibatch(batch_size=16, steps=6, seed=2, mesh=mesh)
+
+    part = fresh()
+    part.optimise_minibatch(batch_size=16, steps=3, seed=2, mesh=mesh,
+                            checkpoint_path=ck, checkpoint_every=3)
+    part.m = fresh().m  # wipe; resume must restore from the file
+    part.optimise_minibatch(batch_size=16, steps=6, seed=2, mesh=mesh,
+                            checkpoint_path=ck, checkpoint_every=3)
+    v1, _ = flatten_trainable(full.m)
+    v2, _ = flatten_trainable(part.m)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_optimise_restarts_requires_lbfgs(rng):
+    from oak_tpu.model import oak_model
+
+    X = rng.normal(size=(20, 2))
+    y = X[:, :1]
+    oak = oak_model(max_interaction_depth=2, optimizer="adam")
+    oak.fit(X, y, optimise=False)
+    import pytest
+
+    with pytest.raises(ValueError, match="restarts"):
+        oak.optimise(max_iters=3, restarts=2)

@@ -80,3 +80,17 @@ def test_serialized_bernoulli_uncertainty(rng):
     f = deserialize_predict(serialize_predict(oak, include_var=True))
     p, std = (np.asarray(a) for a in f(X.astype(np.float32)))
     np.testing.assert_allclose(std, np.sqrt(p * (1 - p)), rtol=1e-3, atol=1e-4)
+
+
+def test_bernoulli_artifacts_mirror_live_apis(rng):
+    # mean-only == predict (plug-in invlink); (mean, std) == predict_proba
+    # (posterior predictive) — deliberately different probabilities
+    oak, X = _fitted(rng, likelihood="bernoulli")
+    Xf = X.astype(np.float32)
+    plug = np.asarray(deserialize_predict(serialize_predict(oak))(Xf))
+    post, _ = (np.asarray(a) for a in
+               deserialize_predict(serialize_predict(oak, include_var=True))(Xf))
+    np.testing.assert_allclose(plug, oak.predict(X, clip=True),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(post, oak.predict_proba(X, clip=True),
+                               rtol=1e-3, atol=1e-3)

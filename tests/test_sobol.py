@@ -272,3 +272,22 @@ def test_nonfactor_routing_all_orders_ladder(rng):
     tuples, vals = sb.compute_sobol_oak(m)
     _, naive_vals = _naive_component_sobol(m, 3)
     np.testing.assert_allclose(vals, naive_vals, rtol=1e-6, atol=1e-12)
+
+
+def test_sobol_measure_override_rejected(rng):
+    # delta/mu matching the kernel's own N(0,1) pass; differing ones raise
+    import pytest
+
+    from oak_tpu.kernels import OAKKernel
+    from oak_tpu.models import GPR
+    from oak_tpu.sobol import compute_sobol_oak
+
+    X = rng.normal(size=(12, 2))
+    y = X[:, :1]
+    m = GPR.create(X, y, OAKKernel.create(num_dims=2, max_interaction_depth=2),
+                   noise_variance=0.1)
+    compute_sobol_oak(m, delta=1.0, mu=0.0)  # matches N(0,1): fine
+    with pytest.raises(NotImplementedError, match="measure"):
+        compute_sobol_oak(m, delta=2.0, mu=0.0)
+    with pytest.raises(NotImplementedError, match="measure"):
+        compute_sobol_oak(m, delta=1.0, mu=1.0)

@@ -401,7 +401,8 @@ class oak_model:
 
     def optimise_minibatch(self, batch_size: int = 256, steps: int = 2000,
                            lr: float = 1e-2, seed: int = 0, mesh=None,
-                           checkpoint_path=None, checkpoint_every: int = 0):
+                           checkpoint_path=None, checkpoint_every: int = 0,
+                           optimizer: str = "adam", gamma: float = 0.1):
         """Minibatched Adam on the SVGP ELBO (the scalable alternative to
         full-batch L-BFGS; only valid for SVGP models, whose bound is a sum
         over datapoints).
@@ -414,14 +415,26 @@ class oak_model:
         floating-point reduction order (tested in tests/test_sharding.py).
 
         ``checkpoint_path`` + ``checkpoint_every``: mid-training
-        checkpoint/resume (both paths) — training state (trainable vector,
+        checkpoint/resume (Adam paths) — training state (trainable vector,
         Adam state, step) is written every ``checkpoint_every`` steps and, if
         the file exists, training resumes from it toward the same ``steps``
         total on the identical batch stream.
+
+        ``optimizer="natgrad"``: minibatch natural-gradient steps on q(u)
+        alternated with Adam(lr) on the hyperparameters — the standard
+        large-scale SVGP recipe (device-resident scan single-device;
+        ``data_parallel_natgrad_step`` on a mesh). ``gamma`` is the natgrad
+        step size (use 1.0 for Gaussian likelihoods: each variational step
+        is then exact for the batch).
         """
         if not isinstance(self.m, SVGP):
             raise ValueError("minibatch training requires likelihood='bernoulli' "
                              "or an SVGP model")
+        if optimizer not in ("adam", "natgrad"):
+            raise ValueError(f"optimizer must be 'adam' or 'natgrad', got {optimizer!r}")
+        if optimizer == "natgrad" and checkpoint_path is not None:
+            raise ValueError("checkpoint_path is not supported with "
+                             "optimizer='natgrad' (Adam-path feature)")
         X, Y = self._train_data
         n = X.shape[0]
         rng = np.random.default_rng(seed)
@@ -443,8 +456,14 @@ class oak_model:
             from .parallel import data_parallel_elbo_step, replicate, shard_batch
 
             Xh, Yh = np.asarray(X), np.asarray(Y)
-            step, (vec, opt_state, unflatten) = data_parallel_elbo_step(
-                self.m, mesh, learning_rate=lr)
+            if optimizer == "natgrad":
+                from .parallel import data_parallel_natgrad_step
+
+                step, (vec, opt_state, unflatten) = data_parallel_natgrad_step(
+                    self.m, mesh, gamma=gamma, hyper_lr=lr)
+            else:
+                step, (vec, opt_state, unflatten) = data_parallel_elbo_step(
+                    self.m, mesh, learning_rate=lr)
             import jax
 
             start = 0
@@ -489,10 +508,17 @@ class oak_model:
             def loss_fn(m, ib):
                 return m.training_loss(Xj[ib], Yj[ib])
 
-            res = fit_adam_scan(self.m, loss_fn, steps=steps, lr=lr,
-                                batch_args=(idx,),
-                                checkpoint_path=checkpoint_path,
-                                checkpoint_every=checkpoint_every)
+            if optimizer == "natgrad":
+                from .optim.natgrad import fit_natgrad_scan
+
+                res = fit_natgrad_scan(self.m, loss_fn, steps=steps,
+                                       gamma=gamma, hyper_lr=lr,
+                                       batch_args=(idx,))
+            else:
+                res = fit_adam_scan(self.m, loss_fn, steps=steps, lr=lr,
+                                    batch_args=(idx,),
+                                    checkpoint_path=checkpoint_path,
+                                    checkpoint_every=checkpoint_every)
         self.m = res.model
         self.timings["optimise_minibatch"] = time.time() - t0
         return res

@@ -8,8 +8,9 @@ from .fit import (
     save_train_state,
 )
 from .multistart import fit_lbfgs_multistart
-from .natgrad import fit_natgrad_adam
+from .natgrad import fit_natgrad_adam, fit_natgrad_scan
 
 __all__ = ["FitResult", "fit_scipy", "fit_lbfgs", "fit_adam", "fit_adam_scan",
-           "fit_natgrad_adam", "fit_lbfgs_multistart", "save_train_state",
+           "fit_natgrad_adam", "fit_natgrad_scan", "fit_lbfgs_multistart",
+           "save_train_state",
            "load_train_state"]

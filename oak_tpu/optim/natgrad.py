@@ -146,3 +146,39 @@ def fit_natgrad_adam(model, loss_fn: Callable, steps: int = 200,
             vec, opt_state, loss = step(vec, opt_state, *batch_fn(i))
     return FitResult(model=unflatten(vec), fun=float(loss), num_iters=steps,
                      success=bool(np.isfinite(float(loss))))
+
+
+def fit_natgrad_scan(model, loss_fn: Callable, steps: int = 200,
+                     gamma: float = 0.1, hyper_lr: float = 1e-2,
+                     batch_args=None) -> FitResult:
+    """Device-resident form of ``fit_natgrad_adam``: the whole alternating
+    natgrad/Adam run is ONE ``lax.scan`` under jit (same update math — same
+    stream in, same trajectory out, tested). ``batch_args``: tuple of arrays
+    with leading dim ``steps``; step i calls
+    ``loss_fn(model, *[a[i] for a in batch_args])``."""
+    vec0, unflatten = flatten_trainable(model)
+    opt = optax.adam(hyper_lr)
+
+    def one_step(carry, xs):
+        vec, opt_state = carry
+        args = () if xs is None else xs
+        mdl = unflatten(vec)
+        mdl = _natgrad_update(mdl, loss_fn, gamma, args)
+        loss, g = jax.value_and_grad(lambda mm: loss_fn(mm, *args))(mdl)
+        zero_q = jax.tree_util.tree_map(jnp.zeros_like, (g.q_mu, g.q_sqrt))
+        g = g.replace(q_mu=zero_q[0], q_sqrt=zero_q[1])
+        g = apply_trainable_mask(g, mdl)
+        gvec, _ = flatten_trainable(g)
+        updates, opt_state = opt.update(gvec, opt_state)
+        new_vec, _ = flatten_trainable(mdl)
+        return (optax.apply_updates(new_vec, updates), opt_state), loss
+
+    @jax.jit
+    def run(vec, batch_args):
+        (vec, _), losses = jax.lax.scan(one_step, (vec, opt.init(vec)),
+                                        batch_args, length=steps)
+        return vec, losses[-1]
+
+    vec, loss = run(vec0, batch_args)
+    return FitResult(model=unflatten(vec), fun=float(loss), num_iters=steps,
+                     success=bool(np.isfinite(float(loss))))

@@ -125,3 +125,70 @@ def test_oak_model_natgrad_optimizer(rng):
     oak2.fit(X, y, optimise=False)
     with pytest.raises(ValueError, match="natgrad"):
         oak2.optimise(max_iters=1)
+
+
+def test_natgrad_scan_matches_per_step_loop(rng):
+    from oak_tpu.optim import fit_natgrad_scan
+    from oak_tpu.params import flatten_trainable
+
+    k, X, y, Z = _setup(rng, n=40)
+    svgp = SVGP.create(k, Gaussian.create(0.01), Z, q_diag=True, whiten=True,
+                       num_data=X.shape[0])
+    Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+    idx_stream = [np.random.default_rng(i).choice(40, 16, replace=False)
+                  for i in range(8)]
+
+    def loss_fn(m, ib):
+        return m.training_loss(Xj[ib], Yj[ib])
+
+    loop = fit_natgrad_adam(
+        svgp, lambda m, ib: loss_fn(m, ib), steps=8, gamma=0.5,
+        batch_fn=lambda i: (jnp.asarray(idx_stream[i]),))
+    scan = fit_natgrad_scan(svgp, loss_fn, steps=8, gamma=0.5,
+                            batch_args=(jnp.asarray(np.stack(idx_stream)),))
+    assert np.isclose(loop.fun, scan.fun, rtol=1e-10)
+    v1, _ = flatten_trainable(loop.model)
+    v2, _ = flatten_trainable(scan.model)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-10)
+
+
+def test_optimise_minibatch_natgrad(rng):
+    from oak_tpu.model import oak_model
+
+    X = rng.normal(size=(64, 2))
+    y = (X[:, 0] + 0.3 * X[:, 1] > 0).astype(float).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2, likelihood="bernoulli")
+    oak.fit(X, y, optimise=False)
+    loss0 = float(oak.m.training_loss(jnp.asarray(oak.X_scaled),
+                                      jnp.asarray(oak.Y_scaled)))
+    res = oak.optimise_minibatch(batch_size=32, steps=40, optimizer="natgrad",
+                                 gamma=0.2, lr=5e-2)
+    assert res.success
+    loss1 = float(oak.m.training_loss(jnp.asarray(oak.X_scaled),
+                                      jnp.asarray(oak.Y_scaled)))
+    assert loss1 < loss0
+
+
+def test_optimise_minibatch_natgrad_mesh(rng):
+    from oak_tpu.model import oak_model
+    from oak_tpu.parallel import make_mesh
+    from oak_tpu.params import flatten_trainable
+
+    X = rng.normal(size=(64, 2))
+    y = (X[:, 0] > 0).astype(float).reshape(-1, 1)
+
+    def fresh():
+        oak = oak_model(max_interaction_depth=2, likelihood="bernoulli")
+        oak.fit(X, y, optimise=False)
+        return oak
+
+    single = fresh()
+    single.optimise_minibatch(batch_size=16, steps=5, seed=3,
+                              optimizer="natgrad", gamma=0.2)
+    meshed = fresh()
+    meshed.optimise_minibatch(batch_size=16, steps=5, seed=3, mesh=make_mesh(4),
+                              optimizer="natgrad", gamma=0.2)
+    v1, _ = flatten_trainable(single.m)
+    v2, _ = flatten_trainable(meshed.m)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-7)

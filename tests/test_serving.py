@@ -94,3 +94,12 @@ def test_bernoulli_artifacts_mirror_live_apis(rng):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(post, oak.predict_proba(X, clip=True),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_multiplatform_export(rng):
+    # one artifact lowered for both cpu and tpu loads on the cpu suite
+    oak, X = _fitted(rng)
+    blob = serialize_predict(oak, platforms=("cpu", "tpu"))
+    f = deserialize_predict(blob)
+    np.testing.assert_allclose(np.asarray(f(X.astype(np.float32))),
+                               oak.predict(X, clip=True), rtol=1e-4, atol=1e-4)

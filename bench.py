@@ -119,6 +119,18 @@ def run_bench(args):
     tuples, vals, totals = full_sobol()
     sobol_secs = time.perf_counter() - t1
 
+    # serving path: posterior predictive over the full N x D input block
+    # (scalar-fenced; one batched predict_f per call)
+    @jax.jit
+    def predict_sum(m, X):
+        mu, var = m.predict_f(X)
+        return jnp.sum(mu) + jnp.sum(var)
+
+    jax.device_get(predict_sum(trained, Xj))
+    t2 = time.perf_counter()
+    jax.device_get(predict_sum(trained, Xj))
+    predict_ms = (time.perf_counter() - t2) * 1000
+
     backend = jax.default_backend()
     # CPU reference for the identical workload on this image's single core
     # (see BASELINE.md):
@@ -144,6 +156,7 @@ def run_bench(args):
         "final_elbo_loss": final_loss if final_loss == final_loss else None,
         "num_sobol_components": len(tuples),
         "sobol_depth": "full",
+        "predict_f_ms": round(predict_ms, 2),
     }
     print(json.dumps(result))
 

@@ -120,16 +120,21 @@ def run_bench(args):
     sobol_secs = time.perf_counter() - t1
 
     # serving path: posterior predictive over the full N x D input block
-    # (scalar-fenced; one batched predict_f per call)
-    @jax.jit
-    def predict_sum(m, X):
-        mu, var = m.predict_f(X)
-        return jnp.sum(mu) + jnp.sum(var)
+    # (scalar-fenced; one batched predict_f per call). Skipped in
+    # --sobol-only mode: that mode exists as the FAST CPU Sobol baseline and
+    # its model is untrained anyway (the number would be mislabeled)
+    if args.sobol_only:
+        predict_ms = None
+    else:
+        @jax.jit
+        def predict_sum(m, X):
+            mu, var = m.predict_f(X)
+            return jnp.sum(mu) + jnp.sum(var)
 
-    jax.device_get(predict_sum(trained, Xj))
-    t2 = time.perf_counter()
-    jax.device_get(predict_sum(trained, Xj))
-    predict_ms = (time.perf_counter() - t2) * 1000
+        jax.device_get(predict_sum(trained, Xj))
+        t2 = time.perf_counter()
+        jax.device_get(predict_sum(trained, Xj))
+        predict_ms = (time.perf_counter() - t2) * 1000
 
     backend = jax.default_backend()
     # CPU reference for the identical workload on this image's single core
@@ -156,7 +161,7 @@ def run_bench(args):
         "final_elbo_loss": final_loss if final_loss == final_loss else None,
         "num_sobol_components": len(tuples),
         "sobol_depth": "full",
-        "predict_f_ms": round(predict_ms, 2),
+        "predict_f_ms": (round(predict_ms, 2) if predict_ms is not None else None),
     }
     print(json.dumps(result))
 

@@ -402,7 +402,7 @@ class oak_model:
     def optimise_minibatch(self, batch_size: int = 256, steps: int = 2000,
                            lr: float = 1e-2, seed: int = 0, mesh=None,
                            checkpoint_path=None, checkpoint_every: int = 0,
-                           optimizer: str = "adam", gamma: float = 0.1):
+                           optimizer: Optional[str] = None, gamma: float = 0.1):
         """Minibatched Adam on the SVGP ELBO (the scalable alternative to
         full-batch L-BFGS; only valid for SVGP models, whose bound is a sum
         over datapoints).
@@ -420,6 +420,8 @@ class oak_model:
         the file exists, training resumes from it toward the same ``steps``
         total on the identical batch stream.
 
+        ``optimizer``: None (default) inherits the model-level optimizer when
+        it is minibatch-capable ('adam'/'natgrad'), else Adam.
         ``optimizer="natgrad"``: minibatch natural-gradient steps on q(u)
         alternated with Adam(lr) on the hyperparameters — the standard
         large-scale SVGP recipe (device-resident scan single-device;
@@ -430,6 +432,12 @@ class oak_model:
         if not isinstance(self.m, SVGP):
             raise ValueError("minibatch training requires likelihood='bernoulli' "
                              "or an SVGP model")
+        if optimizer is None:
+            # inherit the construct-time knob when it names a minibatch-capable
+            # optimizer (oak_model(optimizer='natgrad') + optimise_minibatch()
+            # must not silently train with Adam); lbfgs/scipy are full-batch
+            # optimizers, so they fall back to Adam here
+            optimizer = self.optimizer if self.optimizer in ("adam", "natgrad") else "adam"
         if optimizer not in ("adam", "natgrad"):
             raise ValueError(f"optimizer must be 'adam' or 'natgrad', got {optimizer!r}")
         if optimizer == "natgrad" and checkpoint_path is not None:
@@ -492,9 +500,11 @@ class oak_model:
             import jax
 
             vec = jnp.asarray(jax.device_get(vec))
-            res = FitResult(model=unflatten(vec),
-                            fun=float(loss) if start < steps else float("nan"),
-                            num_iters=steps - start, success=True)
+            ran = start < steps
+            final = float(loss) if ran else float("nan")
+            res = FitResult(model=unflatten(vec), fun=final,
+                            num_iters=steps - start,
+                            success=bool(np.isfinite(final)) if ran else True)
         else:
             from .optim.fit import fit_adam_scan
 

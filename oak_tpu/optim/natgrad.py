@@ -109,6 +109,35 @@ def _natgrad_update(m, loss_fn, gamma, args):
                      q_sqrt=m.q_sqrt.assign(Lq_new))
 
 
+def natgrad_adam_step(opt, unflatten, loss_fn: Callable, gamma: float):
+    """THE alternating update: one natural-gradient step on (q_mu, q_sqrt),
+    then one Adam step on every other trainable with the q-gradients zeroed.
+    Shared by ``fit_natgrad_adam``, ``fit_natgrad_scan`` and
+    ``parallel.data_parallel_natgrad_step`` — one definition so the update
+    math (incl. the non-finite-gradient drop below) cannot silently diverge.
+
+    Returns ``step(vec, opt_state, *args) -> (vec, opt_state, loss)``
+    (traceable; callers jit/scan/shard it)."""
+
+    def step(vec, opt_state, *args):
+        mdl = unflatten(vec)
+        mdl = _natgrad_update(mdl, loss_fn, gamma, args)
+        loss, g = jax.value_and_grad(lambda mm: loss_fn(mm, *args))(mdl)
+        zero_q = jax.tree_util.tree_map(jnp.zeros_like, (g.q_mu, g.q_sqrt))
+        g = g.replace(q_mu=zero_q[0], q_sqrt=zero_q[1])
+        g = apply_trainable_mask(g, mdl)
+        gvec, _ = flatten_trainable(g)
+        # drop non-finite hyper-gradients (transient Cholesky failures at the
+        # feasible-region edge) instead of poisoning Adam's moment state —
+        # same policy as optim.fit.fit_adam/fit_adam_scan
+        gvec = jnp.where(jnp.isfinite(gvec), gvec, jnp.zeros_like(gvec))
+        updates, opt_state = opt.update(gvec, opt_state)
+        new_vec, _ = flatten_trainable(mdl)
+        return optax.apply_updates(new_vec, updates), opt_state, loss
+
+    return step
+
+
 def fit_natgrad_adam(model, loss_fn: Callable, steps: int = 200,
                      gamma: float = 0.1, hyper_lr: float = 1e-2,
                      batch_fn: Optional[Callable] = None) -> FitResult:
@@ -118,22 +147,7 @@ def fit_natgrad_adam(model, loss_fn: Callable, steps: int = 200,
     likelihood makes each variational step exact."""
     vec0, unflatten = flatten_trainable(model)
     opt = optax.adam(hyper_lr)
-
-    def call_loss(mm, *args):
-        return loss_fn(mm, *args)
-
-    @jax.jit
-    def step(vec, opt_state, *args):
-        mdl = unflatten(vec)
-        mdl = _natgrad_update(mdl, call_loss, gamma, args)
-        loss, g = jax.value_and_grad(lambda mm: call_loss(mm, *args))(mdl)
-        zero_q = jax.tree_util.tree_map(jnp.zeros_like, (g.q_mu, g.q_sqrt))
-        g = g.replace(q_mu=zero_q[0], q_sqrt=zero_q[1])
-        g = apply_trainable_mask(g, mdl)
-        gvec, _ = flatten_trainable(g)
-        updates, opt_state = opt.update(gvec, opt_state)
-        new_vec, _ = flatten_trainable(mdl)
-        return optax.apply_updates(new_vec, updates), opt_state, loss
+    step = jax.jit(natgrad_adam_step(opt, unflatten, loss_fn, gamma))
 
     opt_state = opt.init(vec0)
     vec = vec0
@@ -158,26 +172,19 @@ def fit_natgrad_scan(model, loss_fn: Callable, steps: int = 200,
     ``loss_fn(model, *[a[i] for a in batch_args])``."""
     vec0, unflatten = flatten_trainable(model)
     opt = optax.adam(hyper_lr)
+    step = natgrad_adam_step(opt, unflatten, loss_fn, gamma)
 
     def one_step(carry, xs):
         vec, opt_state = carry
         args = () if xs is None else xs
-        mdl = unflatten(vec)
-        mdl = _natgrad_update(mdl, loss_fn, gamma, args)
-        loss, g = jax.value_and_grad(lambda mm: loss_fn(mm, *args))(mdl)
-        zero_q = jax.tree_util.tree_map(jnp.zeros_like, (g.q_mu, g.q_sqrt))
-        g = g.replace(q_mu=zero_q[0], q_sqrt=zero_q[1])
-        g = apply_trainable_mask(g, mdl)
-        gvec, _ = flatten_trainable(g)
-        updates, opt_state = opt.update(gvec, opt_state)
-        new_vec, _ = flatten_trainable(mdl)
-        return (optax.apply_updates(new_vec, updates), opt_state), loss
+        vec, opt_state, loss = step(vec, opt_state, *args)
+        return (vec, opt_state), loss
 
     @jax.jit
     def run(vec, batch_args):
         (vec, _), losses = jax.lax.scan(one_step, (vec, opt.init(vec)),
                                         batch_args, length=steps)
-        return vec, losses[-1]
+        return vec, losses[-1] if steps else jnp.asarray(jnp.inf)
 
     vec, loss = run(vec0, batch_args)
     return FitResult(model=unflatten(vec), fun=float(loss), num_iters=steps,

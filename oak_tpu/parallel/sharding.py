@@ -90,11 +90,9 @@ def data_parallel_natgrad_step(model, mesh: Mesh, gamma: float = 0.2,
     """Data-parallel natural-gradient training step (natgrad on q(u) +
     Adam on the hyperparameters, optim/natgrad.py) with the batch sharded
     over the mesh's data axis and all parameters replicated — the same
-    sharding contract as data_parallel_elbo_step."""
-    import jax.numpy as jnp
-
-    from ..optim.natgrad import _natgrad_update
-    from ..params import apply_trainable_mask
+    sharding contract as data_parallel_elbo_step. The update math is
+    ``optim.natgrad.natgrad_adam_step`` — the single shared definition."""
+    from ..optim.natgrad import natgrad_adam_step
 
     vec0, unflatten = flatten_trainable(model)
     opt = optax.adam(hyper_lr)
@@ -105,23 +103,12 @@ def data_parallel_natgrad_step(model, mesh: Mesh, gamma: float = 0.2,
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
 
-    @partial(
+    step = partial(
         jax.jit,
         in_shardings=(repl, repl, shard, shard),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
-    )
-    def step(vec, opt_state, X, Y):
-        mdl = unflatten(vec)
-        mdl = _natgrad_update(mdl, loss_fn, gamma, (X, Y))
-        loss, g = jax.value_and_grad(lambda mm: loss_fn(mm, X, Y))(mdl)
-        zero_q = jax.tree_util.tree_map(jnp.zeros_like, (g.q_mu, g.q_sqrt))
-        g = g.replace(q_mu=zero_q[0], q_sqrt=zero_q[1])
-        g = apply_trainable_mask(g, mdl)
-        gvec, _ = flatten_trainable(g)
-        updates, opt_state = opt.update(gvec, opt_state)
-        new_vec, _ = flatten_trainable(mdl)
-        return optax.apply_updates(new_vec, updates), opt_state, loss
+    )(natgrad_adam_step(opt, unflatten, loss_fn, gamma))
 
     vec0 = replicate(mesh, vec0)
     opt_state = replicate(mesh, opt.init(vec0))

@@ -192,3 +192,32 @@ def test_optimise_minibatch_natgrad_mesh(rng):
     v2, _ = flatten_trainable(meshed.m)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_minibatch_inherits_model_optimizer(rng):
+    # oak_model(optimizer='natgrad') + optimise_minibatch() must run natgrad
+    from unittest import mock
+
+    from oak_tpu.model import oak_model
+    from oak_tpu.optim import natgrad as ng
+
+    X = rng.normal(size=(32, 2))
+    y = (X[:, 0] > 0).astype(float).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2, likelihood="bernoulli",
+                    optimizer="natgrad")
+    oak.fit(X, y, optimise=False)
+    with mock.patch.object(ng, "fit_natgrad_scan",
+                           wraps=ng.fit_natgrad_scan) as spy:
+        oak.optimise_minibatch(batch_size=16, steps=2)
+    assert spy.called
+
+
+def test_natgrad_scan_steps_zero(rng):
+    from oak_tpu.optim import fit_natgrad_scan
+
+    k, X, y, Z = _setup(rng, n=20)
+    svgp = SVGP.create(k, Gaussian.create(0.01), Z, q_diag=True, whiten=True,
+                       num_data=X.shape[0])
+    Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+    res = fit_natgrad_scan(svgp, lambda m: m.training_loss(Xj, Yj), steps=0)
+    assert res.num_iters == 0 and not res.success  # inf loss, nothing ran

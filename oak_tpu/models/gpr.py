@@ -69,6 +69,14 @@ class GPR:
         var = self.kernel.K_diag(jnp.asarray(Xnew)) - jnp.sum(A * A, axis=0)
         return mean, var[:, None] * jnp.ones((1, self.Y.shape[1]), A.dtype)
 
+
+    def predict_f_samples(self, Xnew, num_samples: int = 1, seed=0):
+        """Joint posterior function draws at Xnew, [num_samples, S, R]
+        (GPflow ``predict_f_samples`` semantics; models/sampling.py)."""
+        from .sampling import predict_f_samples
+
+        return predict_f_samples(self, Xnew, num_samples, seed)
+
     def predict_y(self, Xnew) -> Tuple[jnp.ndarray, jnp.ndarray]:
         mu, var = self.predict_f(Xnew)
         return self.likelihood.predict_mean_and_var(mu, var)

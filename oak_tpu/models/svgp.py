@@ -128,6 +128,14 @@ class SVGP:
         var = (self.kernel.K_diag(Xnew) - jnp.sum(A * A, axis=0))[:, None] + SW2
         return mean, var
 
+
+    def predict_f_samples(self, Xnew, num_samples: int = 1, seed=0):
+        """Joint posterior function draws at Xnew, [num_samples, S, R]
+        (GPflow ``predict_f_samples`` semantics; models/sampling.py)."""
+        from .sampling import predict_f_samples
+
+        return predict_f_samples(self, Xnew, num_samples, seed)
+
     def predict_y(self, Xnew):
         mu, var = self.predict_f(Xnew)
         return self.likelihood.predict_mean_and_var(mu, var)

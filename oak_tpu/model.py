@@ -620,6 +620,21 @@ class oak_model:
             return np.asarray(self.m.likelihood.invlink(mu))[:, 0]
         return self._scale_y_inverse(mu)[:, 0]
 
+    def predict_f_samples(self, X, num_samples: int = 1, seed=0,
+                          clip: bool = False) -> np.ndarray:
+        """Joint posterior function draws at raw-unit inputs X, returned in
+        the ORIGINAL target units: [num_samples, N] (regression; y-scaler
+        inverted) or posterior probability draws invlink(f) (Bernoulli).
+        Capability extension — the reference exposes no sampling API."""
+        X_scaled = self._transform_x(
+            np.clip(X, self.xmin, self.xmax) if clip else np.asarray(X, np.float64)
+        )
+        draws = np.asarray(self.m.predict_f_samples(
+            jnp.asarray(X_scaled), num_samples=num_samples, seed=seed))[:, :, 0]
+        if isinstance(self.m, SVGP) and isinstance(self.m.likelihood, Bernoulli):
+            return np.asarray(self.m.likelihood.invlink(jnp.asarray(draws)))
+        return (draws * self.scaler_y.scale_[0] + self.scaler_y.mean_[0])
+
     def predict_proba(self, X, clip: bool = False) -> np.ndarray:
         assert self.likelihood == "bernoulli"
         X_scaled = self._transform_x(

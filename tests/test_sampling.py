@@ -72,3 +72,34 @@ def test_samples_reproducible_and_distinct(rng):
     c = np.asarray(m.predict_f_samples(X[:4], num_samples=2, seed=8))
     np.testing.assert_array_equal(a, b)
     assert not np.allclose(a, c)
+
+
+def test_oak_model_samples_original_units(rng):
+    from oak_tpu.model import oak_model
+
+    X, y = _data(rng, n=40)
+    y = y * 7.0 + 3.0  # non-trivial target scale
+    oak = oak_model(max_interaction_depth=2)
+    oak.fit(X, y, optimise=False)
+    oak.optimise(max_iters=40)
+    draws = oak.predict_f_samples(X[:8], num_samples=3000, seed=5, clip=True)
+    assert draws.shape == (3000, 8)
+    pred = oak.predict(X[:8], clip=True)
+    # sample mean in original units tracks the predictive mean
+    np.testing.assert_allclose(draws.mean(axis=0), pred, atol=0.3)
+
+
+def test_oak_model_samples_bernoulli_probs(rng):
+    from oak_tpu.model import oak_model
+
+    X = rng.normal(size=(40, 2))
+    y = (X[:, 0] > 0).astype(float).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2, likelihood="bernoulli")
+    oak.fit(X, y, optimise=False)
+    oak.optimise(max_iters=20)
+    draws = oak.predict_f_samples(X[:6], num_samples=500, seed=1)
+    assert draws.shape == (500, 6)
+    assert draws.min() >= 0.0 and draws.max() <= 1.0
+    # mean of prob draws approximates the posterior-predictive probability
+    np.testing.assert_allclose(draws.mean(axis=0),
+                               oak.predict_proba(X[:6]), atol=0.08)

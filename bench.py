@@ -94,10 +94,13 @@ def run_bench(args):
         vec, loss = train(vec0)  # warmup/compile
         jax.device_get(loss)
 
-        t0 = time.perf_counter()
-        vec, loss = train(vec0)
-        jax.device_get(loss)
-        dt = time.perf_counter() - t0
+        # best-of-2: the relay adds a jittery ~30 ms fetch RTT per timed run
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            vec, loss = train(vec0)
+            jax.device_get(loss)
+            dt = min(dt, time.perf_counter() - t0)
         steps_per_sec = args.steps / dt
         trained = unflatten(vec)
 
@@ -115,9 +118,12 @@ def run_bench(args):
         return tuples, vals, totals
 
     tuples, vals, totals = full_sobol()
-    t1 = time.perf_counter()
-    tuples, vals, totals = full_sobol()
-    sobol_secs = time.perf_counter() - t1
+    # best-of-3 (same RTT-jitter rationale as the train timing)
+    sobol_secs = float("inf")
+    for _ in range(3):
+        t1 = time.perf_counter()
+        tuples, vals, totals = full_sobol()
+        sobol_secs = min(sobol_secs, time.perf_counter() - t1)
 
     # serving path: posterior predictive over the full N x D input block
     # (scalar-fenced; one batched predict_f per call). Skipped in

@@ -18,6 +18,7 @@ from __future__ import annotations
 import itertools
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -161,8 +162,12 @@ class OAKKernel:
             if empirical_locations[d] is not None and gmm_measures[d] is not None:
                 raise ValueError(f"Both empirical and GMM measure defined for input {d}")
             if p[d] is not None:
+                # per-dim key: the reference draws fresh uniform W per kernel
+                # (ortho_categorical_kernel.py:28); a shared default key would
+                # start equal-cardinality dims at an exactly symmetric point
                 k = OrthogonalCategorical.create(
-                    p=p[d], active_dim=dim, train_variance=train_var, dtype=dtype
+                    p=p[d], active_dim=dim, train_variance=train_var,
+                    key=jax.random.PRNGKey(dim), dtype=dtype
                 )
             elif p0[d] is not None:
                 if constrain_orthogonal:

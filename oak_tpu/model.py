@@ -368,9 +368,13 @@ class oak_model:
                         max_iters=max_iters, warm_adam_steps=300,
                         include_init=False, mesh=mesh,
                         accept_fn=lambda m: not self._degenerate_noise_fit(m))
-                    if retry.fun < res.fun or (
-                            self._degenerate_noise_fit(res.model)
-                            and not self._degenerate_noise_fit(retry.model)):
+                    # np.isfinite guard: an all-lanes-diverged multistart
+                    # returns the UNTRAINED init with fun=inf — installing it
+                    # would discard the trained (albeit degenerate) fit
+                    if np.isfinite(retry.fun) and (
+                            retry.fun < res.fun
+                            or (self._degenerate_noise_fit(res.model)
+                                and not self._degenerate_noise_fit(retry.model))):
                         res = retry
         self.m = res.model
         self.timings["optimise"] = time.time() - t0

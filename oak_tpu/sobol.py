@@ -162,20 +162,10 @@ def compute_L_quadrature(kernel: OrthogonalRBF, x: jnp.ndarray,
     Supports MOG (beyond the reference) and Gaussian/Uniform as a
     cross-check of the closed forms.
     """
-    m = kernel.measure
-    dtype = x.dtype
-    if isinstance(m, MOGMeasure):
-        s, w = _gauss_hermite_grid(m.means, m.variances, m.weights, num_points, dtype)
-    elif isinstance(m, GaussianMeasure):
-        s, w = _gauss_hermite_grid(m.mu[None], m.var[None],
-                                   jnp.ones((1,), dtype), num_points, dtype)
-    elif isinstance(m, UniformMeasure):
-        q, w_ = np.polynomial.legendre.leggauss(num_points)
-        s = 0.5 * (m.b - m.a) * jnp.asarray(q, dtype) + 0.5 * (m.a + m.b)
-        w = jnp.asarray(w_, dtype) * 0.5  # weights of the normalized measure
-    else:
-        raise NotImplementedError(type(m))
-    G = ortho_rbf.K(kernel, x, s)  # [N, S]
+    fw = factor_form(kernel, x, num_points)
+    if fw is None:
+        raise NotImplementedError(type(kernel.measure))
+    G, w = fw  # one grid definition: factor_form owns the quadrature rules
     return (G * w[None, :]) @ G.T
 
 
@@ -306,11 +296,10 @@ def _per_dim_batched(oak: OAKKernel, X: jnp.ndarray, fn):
 
 
 def _dim_L_stack(oak: OAKKernel, X: jnp.ndarray, delta=None, mu=None) -> jnp.ndarray:
-    """[D + 1, N, N]: per-dim L matrices plus a trailing all-ones identity
-    slice used as Hadamard padding for variable-order components."""
+    """[D, N, N] per-dim L matrices (the ladder consumes exactly D slices;
+    variable-order padding lives in the prediction-component gram stack)."""
     mats = _per_dim_batched(
         oak, X, lambda k, x: compute_L_for_kernel(k, x, delta, mu))
-    mats.append(jnp.ones_like(mats[0]))
     return jnp.stack(mats, axis=0)
 
 
@@ -352,7 +341,12 @@ def _factor_routing(oak) -> Tuple[bool, ...]:
     gauss = [(i, k) for i, k in enumerate(oak.kernels)
              if isinstance(k, OrthogonalRBF)
              and isinstance(k.measure, GaussianMeasure)]
-    routing = [True] * len(oak.kernels)
+    # kernels with no factor form at all (UnconstrainedRBF, unknown types)
+    # must route to the Hadamard path, whose compute_L_for_kernel raises a
+    # clean NotImplementedError instead of the factor path's None subscript
+    routing = [isinstance(k, (OrthogonalRBF, OrthogonalBinary,
+                              OrthogonalCategorical))
+               for k in oak.kernels]
     if not gauss:
         return tuple(routing)
     host = jax.device_get([(k.lengthscale.raw, k.measure.var) for _, k in gauss])
@@ -576,6 +570,21 @@ def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...]) -> jnp.ndar
 _sobol_values_jit = jax.jit(_sobol_values_impl, static_argnums=(1, 2))
 
 
+def _check_depth_override(oak: OAKKernel, depth: Optional[int]) -> int:
+    """An override above the kernel's own interaction depth would fabricate
+    values for orders the model does not contain (the order-variance gather
+    would silently clamp to the last real order) — reject it; overrides at or
+    below the model depth are legitimate truncations."""
+    if depth is None:
+        return oak.max_interaction_depth
+    if depth > oak.max_interaction_depth:
+        raise ValueError(
+            f"max depth override {depth} exceeds the kernel's "
+            f"max_interaction_depth={oak.max_interaction_depth}; the model "
+            "has no higher-order components to attribute variance to")
+    return depth
+
+
 def _check_measure_override(oak: OAKKernel, delta, mu) -> None:
     """The Sobol measure lives inside each kernel (unlike the reference,
     which threads delta/mu through every call); an override that differs
@@ -609,7 +618,7 @@ def compute_sobol_oak(model, delta=None, mu=None,
     override raises rather than silently computing under the wrong measure."""
     oak: OAKKernel = model.kernel
     _check_measure_override(oak, delta, mu)
-    depth = max_interaction_depth or oak.max_interaction_depth
+    depth = _check_depth_override(oak, max_interaction_depth)
     tuples = component_index_tuples(oak.num_dims, depth)[1:]
     routing = _factor_routing(oak)
     values = _sobol_values_jit(model, depth, routing)
@@ -639,7 +648,7 @@ def compute_sobol_by_order(model, delta=None, mu=None,
     form's conditioning; prefer compute_sobol_oak sums for pathological
     (near-noiseless, unbounded) fits."""
     _check_measure_override(model.kernel, delta, mu)
-    depth = max_depth or model.kernel.max_interaction_depth
+    depth = _check_depth_override(model.kernel, max_depth)
     return np.asarray(_sobol_by_order_jit(model, depth))
 
 
@@ -706,7 +715,7 @@ def get_prediction_component(model, alpha=None, X=None,
     oak: OAKKernel = model.kernel
     if X is None:
         X = model.data[0]
-    depth = max_interaction_depth or oak.max_interaction_depth
+    depth = _check_depth_override(oak, max_interaction_depth)
     return np.asarray(_prediction_component_jit(model, jnp.asarray(X), depth))
 
 

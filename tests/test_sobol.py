@@ -291,3 +291,42 @@ def test_sobol_measure_override_rejected(rng):
         compute_sobol_oak(m, delta=2.0, mu=0.0)
     with pytest.raises(NotImplementedError, match="measure"):
         compute_sobol_oak(m, delta=1.0, mu=1.0)
+
+
+def test_depth_override_above_model_depth_rejected(rng):
+    import pytest
+
+    from oak_tpu.kernels import OAKKernel
+    from oak_tpu.models import GPR
+    from oak_tpu.sobol import (compute_sobol_by_order, compute_sobol_oak,
+                               get_prediction_component)
+
+    X = rng.normal(size=(12, 3))
+    y = X[:, :1]
+    m = GPR.create(X, y, OAKKernel.create(num_dims=3, max_interaction_depth=2),
+                   noise_variance=0.1)
+    # truncation below the model depth is fine
+    t1, v1 = compute_sobol_oak(m, max_interaction_depth=1)
+    assert len(t1) == 3
+    with pytest.raises(ValueError, match="exceeds"):
+        compute_sobol_oak(m, max_interaction_depth=3)
+    with pytest.raises(ValueError, match="exceeds"):
+        compute_sobol_by_order(m, max_depth=3)
+    with pytest.raises(ValueError, match="exceeds"):
+        get_prediction_component(m, X=X, max_interaction_depth=3)
+
+
+def test_unconstrained_kernel_sobol_clean_error(rng):
+    import pytest
+
+    from oak_tpu.kernels import OAKKernel
+    from oak_tpu.models import GPR
+    from oak_tpu.sobol import compute_sobol_oak
+
+    X = rng.normal(size=(10, 2))
+    m = GPR.create(X, X[:, :1],
+                   OAKKernel.create(num_dims=2, max_interaction_depth=2,
+                                    constrain_orthogonal=False),
+                   noise_variance=0.1)
+    with pytest.raises(NotImplementedError):
+        compute_sobol_oak(m)

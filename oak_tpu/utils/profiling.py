@@ -16,14 +16,21 @@ import jax
 
 
 class Timer:
-    """Phase timer that blocks until device work completes.
+    """Phase timer that truly waits for device work.
 
     Usage::
 
         timer = Timer()
-        with timer("elbo_step"):
-            loss = step(...)          # async dispatch
+        with timer("elbo_step", block_on=loss_holder):
+            loss_holder.append(step(...))   # async dispatch
         timer.results  # {"elbo_step": 0.123}
+
+    Synchronization is by VALUE FETCH (``jax.device_get``), not
+    ``block_until_ready``: through this environment's TPU socket relay,
+    block_until_ready can return seconds before the device drains (see
+    BASELINE.md "Relay dispatch note"), silently under-reporting. Pass a
+    SMALL array (a scalar loss) as ``block_on`` — fetching large results
+    would time the relay's ~11 MB/s link instead of the device.
     """
 
     def __init__(self):
@@ -36,9 +43,10 @@ class Timer:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                jax.device_get(jax.tree_util.tree_leaves(block_on)[-1])
             else:
-                # ensure all dispatched work is done
+                # flushes dispatch-side effects; NOT a device fence through
+                # the relay — prefer passing block_on
                 jax.effects_barrier()
             self.results[name] = self.results.get(name, 0.0) + (
                 time.perf_counter() - t0

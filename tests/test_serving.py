@@ -103,3 +103,18 @@ def test_multiplatform_export(rng):
     f = deserialize_predict(blob)
     np.testing.assert_allclose(np.asarray(f(X.astype(np.float32))),
                                oak.predict(X, clip=True), rtol=1e-4, atol=1e-4)
+
+
+def test_checkpoint_reload_then_serialize_matches(rng, tmp_path):
+    # full deployment chain: train -> save checkpoint -> reload in a "new
+    # process" -> serialize artifact -> serve; predictions match the
+    # original live model end to end
+    from oak_tpu import load_oak_model
+
+    oak, X = _fitted(rng)
+    ck = tmp_path / "model.npz"
+    oak.save(ck)
+    oak2 = load_oak_model(ck)
+    f = deserialize_predict(serialize_predict(oak2))
+    np.testing.assert_allclose(np.asarray(f(X.astype(np.float32))),
+                               oak.predict(X, clip=True), rtol=1e-4, atol=1e-4)

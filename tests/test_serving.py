@@ -118,3 +118,24 @@ def test_checkpoint_reload_then_serialize_matches(rng, tmp_path):
     f = deserialize_predict(serialize_predict(oak2))
     np.testing.assert_allclose(np.asarray(f(X.astype(np.float32))),
                                oak.predict(X, clip=True), rtol=1e-4, atol=1e-4)
+
+
+def test_mixed_feature_types_serving(rng):
+    # binary + categorical + continuous features through the full serving
+    # chain (flows skipped on discrete dims, gathers lowered into the artifact)
+    from oak_tpu.model import oak_model
+
+    n = 80
+    Xc = rng.normal(size=(n, 2))
+    Xb = (rng.random(n) > 0.4).astype(float)
+    Xcat = rng.integers(0, 3, size=n).astype(float)
+    X = np.column_stack([Xc, Xb, Xcat])
+    y = (np.sin(X[:, 0]) + 0.5 * Xb + 0.3 * Xcat).reshape(-1, 1) \
+        + 0.05 * rng.normal(size=(n, 1))
+    oak = oak_model(max_interaction_depth=2, binary_feature=[2],
+                    categorical_feature=[3])
+    oak.fit(X, y, optimise=False)
+    oak.optimise(max_iters=30)
+    f = deserialize_predict(serialize_predict(oak))
+    np.testing.assert_allclose(np.asarray(f(X.astype(np.float32))),
+                               oak.predict(X, clip=True), rtol=1e-3, atol=1e-3)

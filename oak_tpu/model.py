@@ -337,28 +337,35 @@ class oak_model:
             # linesearch can stall in f32, then L-BFGS refines; gentle lr —
             # 5e-2 overshoots into Cholesky-failure territory on f32
             warm_steps = 300 if is_svgp else 0
+            def bad_fit(m, fun=0.0) -> bool:
+                return (self._degenerate_noise_fit(m)
+                        or self._pathological_fit(m, fun))
+
             if restarts > 0:
                 res = fit_lbfgs_multistart(
                     init, loss, n_starts=restarts, jitter=0.3, seed=0,
                     max_iters=max_iters, warm_adam_steps=warm_steps,
                     include_init=True, mesh=mesh,
-                    accept_fn=lambda m: not self._degenerate_noise_fit(m))
+                    accept_fn=lambda m: not bad_fit(m))
             else:
                 if is_svgp:
                     self.m = fit_adam(self.m, loss, steps=warm_steps,
                                       lr=2e-2).model
                 res = fit_lbfgs(self.m, loss, max_iters=max_iters)
-                if self._degenerate_noise_fit(res.model):
-                    # The Gamma(1, 0.2) sparsity prior makes the all-noise
-                    # stationary point (every order variance -> 0, likelihood
-                    # variance -> Var(y)) a genuine attractor of the
-                    # cold-started f32 L-BFGS on some folds (f64 escapes it
-                    # from the same init — measured on the autoMPG folds:
-                    # trap loss +457 vs good-basin loss -206). Jittered
-                    # restarts reliably find the good basin; run them as ONE
-                    # batched vmapped L-BFGS and keep the best
-                    # non-degenerate fit by loss (= log marginal incl.
-                    # priors), falling back to the original if none improves.
+                if bad_fit(res.model, res.fun):
+                    # Two known f32 traps (f64 escapes both from the same
+                    # init): (a) the Gamma(1, 0.2) sparsity prior makes the
+                    # all-noise stationary point an attractor of cold-started
+                    # L-BFGS (measured on the autoMPG folds: trap loss +457
+                    # vs good-basin -206); (b) at high interaction depth the
+                    # linesearch can run into interpolation collapse —
+                    # likelihood variance at the f32 floor with exploded
+                    # kernel variances, NaN params, or a non-finite loss
+                    # (seen on the housing folds, D=13 depth 13). Jittered
+                    # restarts reliably find a good basin; run them as ONE
+                    # batched vmapped L-BFGS and keep the best healthy fit
+                    # by loss (= log marginal incl. priors), falling back to
+                    # the original if none improves.
                     # warm_adam_steps=300 for BOTH lanes mirrors the round-2
                     # sequential fallback's seed-0 (warm) lane, the recipe
                     # measured to escape on the autoMPG folds; the full-depth
@@ -367,39 +374,63 @@ class oak_model:
                         init, loss, n_starts=2, jitter=0.3, seed=0,
                         max_iters=max_iters, warm_adam_steps=300,
                         include_init=False, mesh=mesh,
-                        accept_fn=lambda m: not self._degenerate_noise_fit(m))
+                        accept_fn=lambda m: not bad_fit(m))
                     # np.isfinite guard: an all-lanes-diverged multistart
                     # returns the UNTRAINED init with fun=inf — installing it
                     # would discard the trained (albeit degenerate) fit
                     if np.isfinite(retry.fun) and (
                             retry.fun < res.fun
-                            or (self._degenerate_noise_fit(res.model)
-                                and not self._degenerate_noise_fit(retry.model))):
+                            or (bad_fit(res.model, res.fun)
+                                and not bad_fit(retry.model, retry.fun))):
                         res = retry
         self.m = res.model
         self.timings["optimise"] = time.time() - t0
         return res
 
     @staticmethod
+    def _pathological_fit(model, fun: float = 0.0) -> bool:
+        """True when a trained model is numerically broken rather than merely
+        degenerate: non-finite loss, non-finite parameters, or f32
+        interpolation collapse (likelihood variance driven to the numerical
+        floor while kernel variances explode — the posterior weights
+        alpha = K^-1 y then overflow f32 and every downstream Sobol/predict
+        quantity is garbage; observed on the housing folds at D=13
+        depth 13)."""
+        from .params import flatten_trainable
+
+        if not np.isfinite(fun):
+            return True
+        vec, _ = flatten_trainable(model)
+        if not np.isfinite(np.asarray(vec)).all():
+            return True
+        if hasattr(model.likelihood, "variance"):
+            import jax
+
+            lik, total = jax.device_get(
+                (model.likelihood.variance.value,
+                 sum(v.value for v in model.kernel.variances)))
+            if float(lik) < 1e-7 and float(total) > 1e4:
+                return True
+        return False
+
+    @staticmethod
     def _degenerate_noise_fit(model) -> bool:
-        """True when a trained model sits in the all-noise optimum: every
-        additive component's variance has collapsed to ~0 — for GPR/SGPR the
-        (standardized) targets are then explained entirely by likelihood
-        variance; for an SVGP-Bernoulli classifier the latent is constant and
-        it predicts p=0.5 everywhere (NLL = log 2)."""
+        """True when every additive component's variance has collapsed to ~0.
+        The targets are standardized (Var(y) = 1), so a healthy fit must put
+        O(1) variance SOMEWHERE; with the kernel at zero the model either
+        sits in the all-noise optimum (likelihood variance ~Var(y) — the
+        Gamma-prior trap measured on the autoMPG folds) or, worse, in the
+        all-collapsed state (likelihood variance stuck at its floor too,
+        training loss astronomically positive — seen on housing fold 0 at
+        D=13 depth 13, lengthscales saturated at both bounds). Both warrant
+        the jittered-restart fallback; for an SVGP-Bernoulli classifier the
+        latent is constant and it predicts p=0.5 everywhere."""
         if not model.kernel.share_var_across_orders:
             return False
         import jax
 
         leaves = [v.value for v in model.kernel.variances[1:]]
-        has_lik_var = hasattr(model.likelihood, "variance")
-        if has_lik_var:
-            leaves.append(model.likelihood.variance.value)
         vs = jax.device_get(leaves)
-        if has_lik_var:
-            lik = float(np.asarray(vs[-1]))
-            total = float(np.sum([np.asarray(v) for v in vs[:-1]]))
-            return total < 1e-4 and lik > 0.5
         total = float(np.sum([np.asarray(v) for v in vs]))
         return total < 1e-4
 

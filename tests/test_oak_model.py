@@ -320,3 +320,40 @@ def test_latent_plot_ignores_data_scatter_flags(rng):
                              plot_corrected_data=True,
                              data=(oak.X_scaled, oak.Y_scaled))
     assert fig is not None
+
+
+def test_degenerate_and_pathological_detection(rng):
+    """The two f32 optimizer traps are detected: all-noise (kernel collapsed,
+    noise explains y), all-collapsed (kernel AND likelihood floored — housing
+    fold-0 signature), and interpolation collapse (lik at floor, kernel
+    exploded)."""
+    import jax.numpy as jnp
+
+    from oak_tpu.kernels import OAKKernel
+    from oak_tpu.model import oak_model
+    from oak_tpu.models import GPR
+
+    X = rng.normal(size=(15, 2))
+    m = GPR.create(X, X[:, :1],
+                   OAKKernel.create(num_dims=2, max_interaction_depth=2),
+                   noise_variance=0.01)
+    assert not oak_model._degenerate_noise_fit(m)
+    assert not oak_model._pathological_fit(m, 1.0)
+
+    def set_vars(model, order_vals, lik):
+        variances = tuple(
+            v.assign(jnp.asarray(val)) for v, val in
+            zip(model.kernel.variances, [1.0] + list(order_vals)))
+        return model.replace(
+            kernel=model.kernel.replace(variances=variances),
+            likelihood=model.likelihood.replace(
+                variance=model.likelihood.variance.assign(lik)))
+
+    # all-noise: kernel ~0, noise ~Var(y)
+    assert oak_model._degenerate_noise_fit(set_vars(m, [1e-6, 1e-6], 1.0))
+    # all-collapsed: kernel ~0 AND likelihood at its floor
+    assert oak_model._degenerate_noise_fit(set_vars(m, [1e-6, 1e-6], 1e-6))
+    # interpolation collapse: lik floored, kernel exploded
+    assert oak_model._pathological_fit(set_vars(m, [1e5, 1e5], 1e-8), -5.0)
+    # non-finite loss / params
+    assert oak_model._pathological_fit(m, float("nan"))

@@ -79,35 +79,59 @@ def fit_scipy(model, loss_fn: Callable, method: str = "BFGS",
                      message=str(res.message))
 
 
-def lbfgs_loop(loss_vec: Callable, max_iters: int, tol: float,
-               memory_size: int = 30):
-    """The single L-BFGS while_loop used by both ``fit_lbfgs`` and the
-    batched multistart (optim/multistart.py): returns a traceable
-    ``run(vec) -> (vec, value, grad, iters)``. One definition so convergence
-    semantics cannot silently diverge between the two optimizers."""
+def lbfgs_parts(loss_vec: Callable, tol: float, memory_size: int = 30):
+    """The L-BFGS while_loop shared by ``fit_lbfgs`` and the batched
+    multistart (optim/multistart.py), decomposed so callers can run it in
+    bounded chunks: returns ``(init, run_range, stats)`` with
+
+    - ``init(vec) -> state``
+    - ``run_range(vec, state, it, limit) -> (vec, state, it)`` — iterate
+      while ``it < limit`` and not converged (``limit`` may be a traced
+      scalar, so one compiled chunk serves every call)
+    - ``stats(state) -> (value, grad)``
+
+    One definition of the step/convergence logic so the single-start and
+    batched optimizers cannot silently diverge."""
     opt = optax.lbfgs(memory_size=memory_size)
     value_and_grad = optax.value_and_grad_from_state(loss_vec)
 
     def step(carry):
-        vec, state, it = carry
+        vec, state, it, limit = carry
         value, grad = value_and_grad(vec, state=state)
         updates, state = opt.update(grad, state, vec, value=value, grad=grad,
                                     value_fn=loss_vec)
         vec = optax.apply_updates(vec, updates)
-        return vec, state, it + 1
+        return vec, state, it + 1, limit
 
     def cond(carry):
-        vec, state, it = carry
+        vec, state, it, limit = carry
         grad = optax.tree_utils.tree_get(state, "grad")
         gnorm = jnp.sqrt(jnp.sum(grad * grad))
-        return jnp.logical_and(it < max_iters,
+        return jnp.logical_and(it < limit,
                                jnp.logical_or(it == 0, gnorm > tol))
 
+    def run_range(vec, state, it, limit):
+        vec, state, it, _ = jax.lax.while_loop(
+            cond, step, (vec, state, jnp.asarray(it, jnp.int32),
+                         jnp.asarray(limit, jnp.int32)))
+        return vec, state, it
+
+    def stats(state):
+        return (optax.tree_utils.tree_get(state, "value"),
+                optax.tree_utils.tree_get(state, "grad"))
+
+    return opt.init, run_range, stats
+
+
+def lbfgs_loop(loss_vec: Callable, max_iters: int, tol: float,
+               memory_size: int = 30):
+    """Single-program form of ``lbfgs_parts``: a traceable
+    ``run(vec) -> (vec, value, grad, iters)``."""
+    init, run_range, stats = lbfgs_parts(loss_vec, tol, memory_size)
+
     def run(vec):
-        state = opt.init(vec)
-        vec, state, it = jax.lax.while_loop(cond, step, (vec, state, 0))
-        value = optax.tree_utils.tree_get(state, "value")
-        grad = optax.tree_utils.tree_get(state, "grad")
+        vec, state, it = run_range(vec, init(vec), 0, max_iters)
+        value, grad = stats(state)
         return vec, value, grad, it
 
     return run

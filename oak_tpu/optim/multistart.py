@@ -41,13 +41,25 @@ def _make_starts(vec0, n_starts: int, jitter: float, seed: int,
     return jnp.asarray(starts, vec0.dtype)
 
 
+# Iterations of the batched L-BFGS per device call. A single vmapped
+# while_loop running many hundreds of iterations at large-N shapes is one
+# long XLA program that can exceed the TPU worker's execution watchdog and
+# CRASH the worker (observed deterministically: 2-lane 500-iteration run at
+# N=6554, M=500 dies with "TPU worker process crashed or restarted"; 200
+# iterations is fine). Chunking carries (vec, state, it) across bounded
+# device calls — same trajectory, bounded program runtime; ``limit`` is a
+# traced scalar so ONE compiled chunk serves the whole run.
+CHUNK_ITERS = 100
+
+
 def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
                          jitter: float = 0.3, seed: int = 0,
                          max_iters: int = 500, tol: float = 1e-8,
                          memory_size: int = 30, warm_adam_steps: int = 0,
                          warm_lr: float = 2e-2, include_init: bool = True,
                          accept_fn: Optional[Callable] = None,
-                         mesh=None) -> FitResult:
+                         mesh=None, chunk_iters: Optional[int] = None
+                         ) -> FitResult:
     """Optimize ``loss_fn(model)`` from ``n_starts`` jittered initializations
     in parallel; return the best accepted restart.
 
@@ -59,9 +71,14 @@ def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
     - ``mesh``: optional ``jax.sharding.Mesh`` whose first axis the starts
       dimension is sharded over (params-per-start are tiny; each device runs
       its own restarts). ``n_starts`` must then be divisible by the mesh size.
+    - ``chunk_iters``: L-BFGS iterations per device call (default
+      ``CHUNK_ITERS``; see its comment — bounds single-program runtime).
 
     The per-start final losses are exposed on ``FitResult.message``.
     """
+    from .fit import lbfgs_parts
+
+    chunk = chunk_iters or CHUNK_ITERS
     vec0, unflatten = flatten_trainable(model)
     starts = _make_starts(vec0, n_starts, jitter, seed, include_init)
 
@@ -85,20 +102,9 @@ def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
         return vec
 
     # ---- batched L-BFGS: vmap of the SAME while_loop fit_lbfgs runs
-    # (optim/fit.py::lbfgs_loop — one definition, one convergence policy) ----
-    from .fit import lbfgs_loop
-
-    loop = lbfgs_loop(loss_vec, max_iters, tol, memory_size)
-
-    def run_one(vec):
-        v, value, grad, it = loop(vec)
-        # a restart that diverged reports inf so argmin never selects it
-        value = jnp.where(jnp.isfinite(value), value, jnp.inf)
-        return v, value, jnp.sqrt(jnp.sum(grad * grad)), it
-
-    def pipeline(starts):
-        vec = warm(starts) if warm_adam_steps > 0 else starts
-        return jax.vmap(run_one)(vec)
+    # (optim/fit.py::lbfgs_parts — one definition, one convergence policy),
+    # executed in bounded chunks ----
+    init, run_range, stats = lbfgs_parts(loss_vec, tol, memory_size)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -108,15 +114,35 @@ def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
             raise ValueError(f"n_starts={n_starts} must be divisible by the "
                              f"mesh size {n_dev}")
         axis = list(mesh.shape.keys())[0]
-        shard = NamedSharding(mesh, P(axis))
-        starts = jax.device_put(starts, shard)
-        run = jax.jit(pipeline,
-                      in_shardings=(shard,),
-                      out_shardings=(shard, shard, shard, shard))
-    else:
-        run = jax.jit(pipeline)
+        starts = jax.device_put(starts, NamedSharding(mesh, P(axis)))
+        # states/iters are computed FROM the sharded starts, so GSPMD
+        # propagates the starts-axis sharding through init and every chunk
 
-    vecs, values, gnorms, iters = jax.device_get(run(starts))
+    @jax.jit
+    def prepare(starts):
+        vecs = warm(starts) if warm_adam_steps > 0 else starts
+        return vecs, jax.vmap(init)(vecs), jnp.zeros((n_starts,), jnp.int32)
+
+    run_chunk = jax.jit(jax.vmap(run_range, in_axes=(0, 0, 0, None)))
+
+    @jax.jit
+    def finalize(vecs, states):
+        values, grads = jax.vmap(stats)(states)
+        values = jnp.where(jnp.isfinite(values), values, jnp.inf)
+        return values, jnp.sqrt(jnp.sum(grads * grads, axis=-1))
+
+    vecs, states, its = prepare(starts)
+    limit = 0
+    while limit < max_iters:
+        limit = min(limit + chunk, max_iters)
+        vecs, states, its = run_chunk(vecs, states, its, limit)
+        # a lane stopped below the limit has converged and stays stopped;
+        # continue only while some lane is still consuming iterations
+        if not (np.asarray(jax.device_get(its)) >= limit).any():
+            break
+
+    values, gnorms = finalize(vecs, states)
+    vecs, values, gnorms, iters = jax.device_get((vecs, values, gnorms, its))
 
     if not np.isfinite(values).any():
         # every restart diverged (e.g. Cholesky failure on all lanes):

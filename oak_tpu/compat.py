@@ -191,13 +191,17 @@ def get_prediction_component(m, alpha, X=None, share_var_across_orders=True):
 
 def compute_sobol(model, kernel_list, delta, mu, alpha, sparse_gp: bool = True):
     """Reference utils.py:438-488 (legacy Duvenaud representation): Sobol of
-    explicit product-kernel components via eq (40). delta/mu live inside each
-    kernel's measure here (validated by legacy.grammer_to_kernel)."""
-    del delta, mu
+    explicit product-kernel components via eq (40). delta/mu define the
+    Gaussian Sobol measure and are threaded into every Gaussian-measure
+    factor's L construction exactly as the reference does (utils.py:478) —
+    they may legitimately differ from the kernels' own orthogonality-
+    constraint measures. Non-Gaussian-measure factors (empirical) integrate
+    under their own measure; the reference would silently apply the Gaussian
+    closed form there (documented deviation, PARITY_NOTES.md)."""
     from .legacy import compute_sobol as _compute
 
     X = model.Z.value if sparse_gp else model.data[0]
-    return _compute(X, kernel_list, alpha)
+    return _compute(X, kernel_list, alpha, delta=delta, mu=mu)
 
 
 def model_to_kernel_list(model, selected_dims):

@@ -139,11 +139,14 @@ def model_to_kernel_list(kernel_list: Sequence, selected_dims: Sequence) -> List
     return out
 
 
-def compute_sobol(X, kernel_list: Sequence, alpha) -> List[float]:
+def compute_sobol(X, kernel_list: Sequence, alpha,
+                  delta=None, mu=None) -> List[float]:
     """Sobol indices for a Duvenaud-style kernel list (utils.py:438-488):
     each product kernel contributes alpha^T (prod_d L_d) alpha with L_d built
     from the factor's own variance. ``X`` is the training inputs (full GP) or
-    inducing points (sparse)."""
+    inducing points (sparse). ``delta``/``mu`` override the Gaussian Sobol
+    measure per factor (the reference threads them into compute_L,
+    utils.py:478); None uses each factor's own measure."""
     X = jnp.asarray(X)
     a = jnp.asarray(alpha).reshape(-1)
     out = []
@@ -153,7 +156,7 @@ def compute_sobol(X, kernel_list: Sequence, alpha) -> List[float]:
         factors = k.kernels if isinstance(k, ProductKernel) else (k,)
         L = None
         for f in factors:
-            Lf = compute_L_for_kernel(f, X[:, f.active_dim])
+            Lf = compute_L_for_kernel(f, X[:, f.active_dim], delta=delta, mu=mu)
             L = Lf if L is None else L * Lf
         out.append(float(a @ L @ a))
     return out

@@ -27,6 +27,7 @@ matplotlib.use("Agg")
 from matplotlib import pyplot as plt  # noqa: E402
 
 from .kernels.oak_kernel import kernel_K, kernel_K_diag  # noqa: E402
+from .sobol import check_single_latent  # noqa: E402
 
 
 @dataclass
@@ -78,6 +79,7 @@ def _component_posterior(m, dims: List[int], grid_cols: List[np.ndarray]):
     grid_cols[k] is the column of evaluation points for dims[k]; all columns
     have equal length S.
     """
+    check_single_latent(m)
     alpha, Qinv = m.posterior_stats()
     Xc = _conditioning_inputs(m)
     order = len(dims)
@@ -110,6 +112,7 @@ def _summed_order1_posterior(m, xx: np.ndarray):
     from .kernels.oak_kernel import UnconstrainedRBF
     from .kernels.ortho_rbf import OrthogonalRBF
 
+    check_single_latent(m)
     alpha, Qinv = m.posterior_stats()
     Xc = _conditioning_inputs(m)
     v = _order_variance(m, 1)

@@ -200,7 +200,17 @@ def compute_L_for_kernel(kernel, x: jnp.ndarray, delta=None, mu=None) -> jnp.nda
             mean = m.mu if mu is None else jnp.asarray(mu, x.dtype)
             l = kernel.lengthscale.value
             Lc = compute_L_gaussian(x, l, kernel.variance.value, d, mean)
-            Lq = compute_L_quadrature(kernel, x)
+            if delta is None and mu is None:
+                Lq = compute_L_quadrature(kernel, x)
+            else:
+                # override measure: quadrature grid under N(mu, delta^2), not
+                # the kernel's own measure (reference utils.py:478 threads
+                # delta/mu into every L construction)
+                s, w = _gauss_hermite_grid(
+                    jnp.reshape(mean, (1,)), jnp.reshape(d * d, (1,)),
+                    jnp.ones((1,), x.dtype), 64, x.dtype)
+                G = ortho_rbf.K(kernel, x, s)
+                Lq = (G * w[None, :]) @ G.T
             return jnp.where(l > 0.5 * d, Lq, Lc)
         if isinstance(m, (MOGMeasure, UniformMeasure)):
             return compute_L_quadrature(kernel, x)
@@ -341,12 +351,11 @@ def _factor_routing(oak) -> Tuple[bool, ...]:
     gauss = [(i, k) for i, k in enumerate(oak.kernels)
              if isinstance(k, OrthogonalRBF)
              and isinstance(k.measure, GaussianMeasure)]
-    # kernels with no factor form at all (UnconstrainedRBF, unknown types)
+    # kernels with no factor form at all (UnconstrainedRBF, unknown types —
+    # including an OrthogonalRBF whose measure factor_form does not recognize)
     # must route to the Hadamard path, whose compute_L_for_kernel raises a
     # clean NotImplementedError instead of the factor path's None subscript
-    routing = [isinstance(k, (OrthogonalRBF, OrthogonalBinary,
-                              OrthogonalCategorical))
-               for k in oak.kernels]
+    routing = [_has_factor_form(k) for k in oak.kernels]
     if not gauss:
         return tuple(routing)
     host = jax.device_get([(k.lengthscale.raw, k.measure.var) for _, k in gauss])
@@ -356,8 +365,22 @@ def _factor_routing(oak) -> Tuple[bool, ...]:
     return tuple(routing)
 
 
+def _has_factor_form(kernel) -> bool:
+    """Whether factor_form can return a (F, w) pair for this kernel — the
+    same type dispatch factor_form itself performs, checked without building
+    anything so routing never subscripts a None."""
+    if isinstance(kernel, (OrthogonalBinary, OrthogonalCategorical)):
+        return True
+    if isinstance(kernel, OrthogonalRBF):
+        return isinstance(kernel.measure, (GaussianMeasure, MOGMeasure,
+                                           UniformMeasure, EmpiricalMeasure))
+    return False
+
+
 def _usable_factor(kernel) -> bool:
     """Single-kernel form of _factor_routing (kept for tests/direct use)."""
+    if not _has_factor_form(kernel):
+        return False
     if isinstance(kernel, OrthogonalRBF) and isinstance(kernel.measure, GaussianMeasure):
         l = float(_host_param_value(kernel.lengthscale))
         return l > 0.5 * float(np.sqrt(np.asarray(kernel.measure.var)))
@@ -367,6 +390,25 @@ def _usable_factor(kernel) -> bool:
 def _model_X(model):
     X = model.inducing_points
     return model.data[0] if X is None else X
+
+
+def check_single_latent(model) -> None:
+    """Sobol/plotting attribute the variance of ONE latent process. The
+    reference silently uses latent 0 on a multi-latent SVGP
+    (/root/reference/oak/utils.py:174-179 takes posterior Qinv[0]); oak_tpu
+    rejects instead — build one single-latent model per output. Checked on
+    the host (q_mu / Y column counts are static shapes)."""
+    q = getattr(model, "q_mu", None)
+    if q is not None:
+        R = int(q.value.shape[1])
+    else:
+        data = getattr(model, "data", None)
+        R = int(np.shape(data[1])[1]) if data is not None else 1
+    if R > 1:
+        raise NotImplementedError(
+            f"model has {R} latent functions/outputs; Sobol decomposition "
+            "and effect plots are defined for a single latent function — "
+            "fit one single-latent model per output instead")
 
 
 # Cap on the prefix-product matrix Q_k [C_k, N*N] kept live by the ladder;
@@ -574,9 +616,15 @@ def _check_depth_override(oak: OAKKernel, depth: Optional[int]) -> int:
     """An override above the kernel's own interaction depth would fabricate
     values for orders the model does not contain (the order-variance gather
     would silently clamp to the last real order) — reject it; overrides at or
-    below the model depth are legitimate truncations."""
-    if depth is None:
+    below the model depth are legitimate truncations. ``None`` and ``0`` both
+    mean "use the kernel's own depth" (the reference's ``depth or model_depth``
+    idiom), so an explicit 0 never silently yields an empty component list;
+    negative depths are rejected."""
+    if depth is None or depth == 0:
         return oak.max_interaction_depth
+    if depth < 0:
+        raise ValueError(f"max depth override must be >= 1 (got {depth}); "
+                         "pass None or 0 for the kernel's own depth")
     if depth > oak.max_interaction_depth:
         raise ValueError(
             f"max depth override {depth} exceeds the kernel's "
@@ -617,6 +665,7 @@ def compute_sobol_oak(model, delta=None, mu=None,
     kernels' own (the reference always passes delta=1, mu=0); a differing
     override raises rather than silently computing under the wrong measure."""
     oak: OAKKernel = model.kernel
+    check_single_latent(model)
     _check_measure_override(oak, delta, mu)
     depth = _check_depth_override(oak, max_interaction_depth)
     tuples = component_index_tuples(oak.num_dims, depth)[1:]
@@ -647,6 +696,7 @@ def compute_sobol_by_order(model, delta=None, mu=None,
     (uci_regression_train.py:157-160). NOTE: shares the Hadamard quadratic
     form's conditioning; prefer compute_sobol_oak sums for pathological
     (near-noiseless, unbounded) fits."""
+    check_single_latent(model)
     _check_measure_override(model.kernel, delta, mu)
     depth = _check_depth_override(model.kernel, max_depth)
     return np.asarray(_sobol_by_order_jit(model, depth))
@@ -713,6 +763,7 @@ def get_prediction_component(model, alpha=None, X=None,
     predictive mean. ``alpha`` is accepted for reference API compat but is
     recomputed from the model posterior."""
     oak: OAKKernel = model.kernel
+    check_single_latent(model)
     if X is None:
         X = model.data[0]
     depth = _check_depth_override(oak, max_interaction_depth)

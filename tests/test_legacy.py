@@ -62,3 +62,29 @@ def test_legacy_compute_sobol_matches_mc(rng):
     s = rng.normal(0.0, 1.0, 200_000)
     f = np.asarray(kernel_K(ks[0].kernels[0], jnp.asarray(s), jnp.asarray(X[:, 0]))) @ alpha
     np.testing.assert_allclose(val, np.mean(f ** 2), rtol=0.05)
+
+
+def test_legacy_compute_sobol_measure_override(rng):
+    """ADVICE r1: delta/mu passed to the legacy compute_sobol define the
+    Sobol measure (reference utils.py:478 threads them into compute_L) —
+    they are honored even when they differ from the kernels' own
+    orthogonality-constraint measure."""
+    X = rng.normal(size=(12, 1))
+    # kernels constrained under N(0, 10) — the reference's grammer_to_kernel
+    # default — but Sobol requested under N(0, 1)
+    ks = grammer_to_kernel([[0]], measure=GaussianMeasure.create(0.0, 10.0),
+                           seed=3)
+    alpha = rng.normal(size=12)
+    (val,) = compute_sobol(X, ks, alpha, delta=1.0, mu=0.0)
+    from oak_tpu.kernels.oak_kernel import kernel_K
+
+    s = rng.normal(0.0, 1.0, 200_000)
+    f = np.asarray(kernel_K(ks[0].kernels[0], jnp.asarray(s),
+                            jnp.asarray(X[:, 0]))) @ alpha
+    np.testing.assert_allclose(val, np.mean(f ** 2), rtol=0.05)
+    # and the default (no override) integrates under the kernel's own measure
+    (val_own,) = compute_sobol(X, ks, alpha)
+    s10 = rng.normal(0.0, np.sqrt(10.0), 200_000)
+    f10 = np.asarray(kernel_K(ks[0].kernels[0], jnp.asarray(s10),
+                              jnp.asarray(X[:, 0]))) @ alpha
+    np.testing.assert_allclose(val_own, np.mean(f10 ** 2), rtol=0.05)

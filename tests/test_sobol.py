@@ -330,3 +330,69 @@ def test_unconstrained_kernel_sobol_clean_error(rng):
                    noise_variance=0.1)
     with pytest.raises(NotImplementedError):
         compute_sobol_oak(m)
+
+
+def test_depth_override_zero_means_full_depth(rng):
+    """ADVICE r1: an explicit 0 must mean 'use the kernel depth' (the
+    reference's `depth or model_depth` idiom), never an empty component
+    list; negative depths are rejected loudly."""
+    import pytest
+
+    from oak_tpu.models import GPR
+
+    X = rng.normal(size=(12, 3))
+    m = GPR.create(X, X[:, :1],
+                   OAKKernel.create(num_dims=3, max_interaction_depth=2),
+                   noise_variance=0.1)
+    t_full, v_full = sb.compute_sobol_oak(m)
+    t_zero, v_zero = sb.compute_sobol_oak(m, max_interaction_depth=0)
+    assert t_zero == t_full and len(t_zero) == 6
+    np.testing.assert_allclose(v_zero, v_full)
+    np.testing.assert_allclose(sb.compute_sobol_by_order(m, max_depth=0),
+                               sb.compute_sobol_by_order(m))
+    with pytest.raises(ValueError, match=">= 1"):
+        sb.compute_sobol_oak(m, max_interaction_depth=-1)
+
+
+def test_unknown_measure_routes_to_hadamard(rng):
+    """ADVICE r1: an OrthogonalRBF whose measure factor_form does not
+    recognize must route to the Hadamard path (clean NotImplementedError
+    there), never the all-factor path's None subscript."""
+
+    class _FakeMeasure:
+        pass
+
+    oak = OAKKernel.create(num_dims=2, max_interaction_depth=2)
+    k0 = oak.kernels[0].replace(measure=_FakeMeasure())
+    assert not sb._has_factor_form(k0)
+    assert not sb._usable_factor(k0)
+    assert sb.factor_form(k0, jnp.zeros((3,))) is None
+    oak2 = oak.replace(kernels=(k0, oak.kernels[1]))
+    assert sb._factor_routing(oak2) == (False, True)
+    # the supported measures all still route to the factor path
+    assert sb._factor_routing(oak) == (True, True)
+
+
+def test_multi_latent_model_rejected(rng):
+    """VERDICT r1 item 8: a multi-latent SVGP (or multi-output Y) reaching
+    Sobol/plotting must raise cleanly instead of silently using latent 0
+    (the reference's behavior, utils.py:174-179)."""
+    import pytest
+
+    from oak_tpu.models import SVGP, Gaussian
+    from oak_tpu import plotting
+
+    X = rng.normal(size=(14, 2))
+    k = OAKKernel.create(num_dims=2, max_interaction_depth=2)
+    m = SVGP.create(k, Gaussian.create(0.1), X[:6], num_latent=2)
+    with pytest.raises(NotImplementedError, match="latent"):
+        sb.compute_sobol_oak(m)
+    with pytest.raises(NotImplementedError, match="latent"):
+        sb.compute_sobol_by_order(m)
+    with pytest.raises(NotImplementedError, match="latent"):
+        sb.get_prediction_component(m, X=X)
+    with pytest.raises(NotImplementedError, match="latent"):
+        plotting._component_posterior(m, [0], [np.linspace(-1, 1, 4)])
+    # single-latent passes the guard
+    m1 = SVGP.create(k, Gaussian.create(0.1), X[:6])
+    sb.check_single_latent(m1)

@@ -34,7 +34,7 @@ def main():
                     choices=["lbfgs", "scipy", "adam", "natgrad"])
     args = ap.parse_args()
 
-    X, y = load_classification(args.dataset_name)
+    X, y, provenance = load_classification(args.dataset_name)
     n, d = X.shape
     # sonar has 60 features: truncate interactions (reference :95-98)
     depth = 4 if args.dataset_name != "sonar" else 2
@@ -45,6 +45,7 @@ def main():
         dataset_name=args.dataset_name,
         task="classification",
         k_folds=args.k,
+        data_provenance=provenance,
         model=ModelConfig(max_interaction_depth=depth, num_inducing=200,
                           likelihood="bernoulli", optimizer=args.optimizer),
         fit=FitConfig(max_iters=args.max_iters, restarts=args.restarts),
@@ -118,6 +119,10 @@ def main():
             auc_component=auc_component,
             cumulative_sobol=cumulative_sobol,
             train_time=train_time,
+            synthetic=provenance["data_provenance"] == "synthetic_standin",
+            data_generator_seed=(provenance["generator_seed"]
+                                 if provenance["generator_seed"] is not None
+                                 else -1),
         )
         print(json.dumps({
             "fold": fold, "error": round(classification_error, 4),

@@ -42,7 +42,7 @@ def main():
                     choices=["lbfgs", "scipy", "adam"])
     args = ap.parse_args()
 
-    X, y = load_regression(args.dataset_name)
+    X, y, provenance = load_regression(args.dataset_name)
     n, d = X.shape
     depth = args.depth if args.depth is not None else d
 
@@ -52,6 +52,7 @@ def main():
         dataset_name=args.dataset_name,
         task="regression",
         k_folds=args.k,
+        data_provenance=provenance,
         # sparse stays False: oak_model.fit itself switches to inducing
         # points when the PER-FOLD training size exceeds 1000 (the
         # reference's threshold, model_utils.py:374) — thresholding on the
@@ -130,6 +131,10 @@ def main():
             sobol_order=sobol_order,
             train_time=train_time,
             sobol_time=sobol_time,
+            synthetic=provenance["data_provenance"] == "synthetic_standin",
+            data_generator_seed=(provenance["generator_seed"]
+                                 if provenance["generator_seed"] is not None
+                                 else -1),
         )
         print(json.dumps({
             "fold": fold, "rmse": round(rmse, 4), "nll": round(nll, 4),

@@ -83,6 +83,11 @@ class ExperimentConfig:
     k_folds: int = 5
     seed: int = 4  # the reference's data-shuffle seed (uci_*_train.py)
     output_dir: Optional[str] = None
+    # which branch fed the run: {"data_provenance": "real_mat" |
+    # "synthetic_standin", "path", "generator_seed", "shape"} — stamped by
+    # the UCI scripts so committed artifacts are machine-distinguishable
+    # from real-data runs
+    data_provenance: Optional[dict] = None
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     fit: FitConfig = dataclasses.field(default_factory=FitConfig)
 

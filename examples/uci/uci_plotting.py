@@ -12,15 +12,30 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "../..")))
 
-# Feature-name tables for the documented datasets (reference :19-96)
+# Feature-name tables for all 10 datasets (reference :19-96; the reference
+# keys housing as "Housing" — both spellings are accepted below)
 COVARIATE_NAMES = {
     "autoMPG": ["cylinders", "displacement", "horsepower", "weight",
                 "acceleration", "year", "origin"],
-    "housing": ["CRIM", "ZN", "INDUS", "CHAS", "NOX", "RM", "AGE", "DIS",
-                "RAD", "TAX", "PTRATIO", "B", "LSTAT"],
-    "concrete": ["cement", "blast furnace slag", "fly ash", "water",
-                 "superplasticizer", "coarse aggregate", "fine aggregate", "age"],
+    "housing": ["crime", "zoned", "industrial", "river", "NOX", "rooms",
+                "age", "empl. dist.", "highway acc.", "tax", "pupil ratio",
+                "black pct", "low status pct"],
+    "concrete": ["Cement", "Blast Furnace Slag", "Fly Ash", "Water",
+                 "Superplasticizer", "Coarse Aggregate", "Fine Aggregate",
+                 "Age"],
+    "pumadyn": [f"input {i}" for i in range(8)],
+    "breast": ["ClumpThickness", "CellSize", "CellShape", "MarginalAdhesion",
+               "SingleEpithelialCellSize", "BareNuclei", "BlandChromatin",
+               "NormalNucleoli", "Mitoses"],
+    "pima": ["Pregnancies", "Glucose", "BloodPressure", "SkinThickness",
+             "Insulin", "BMI", "DiabetesPedigreeFunction", "Age"],
+    "sonar": [f"input {i}" for i in range(60)],
+    "ionosphere": [f"input {i}" for i in range(32)],
+    "liver": ["mcv", "alkphos", "sgpt", "sgot", "gammagt", "drinks"],
+    "heart": ["age", "sex", "cp", "trestbps", "chol", "fbs", "restecg",
+              "thelach", "exang", "oldpeak", "slope", "ca", "thal"],
 }
+COVARIATE_NAMES["Housing"] = COVARIATE_NAMES["housing"]
 
 
 def main():

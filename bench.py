@@ -144,13 +144,21 @@ def run_bench(args):
 
     backend = jax.default_backend()
     # CPU reference for the identical workload on this image's single core
-    # (see BASELINE.md):
-    #   ELBO: `python bench.py --cpu --steps 5` -> 0.003 steps/s (XLA-CPU)
+    # (full audit in BASELINE.md "Measured (round 2, re-audited)"):
+    #   ELBO measured: 324-349 s/step WARM (compile excluded; 3 reps) — but a
+    #     profile shows ~300 s of that is an XLA-CPU fusion pathology (~100
+    #     layout-copy elementwise fusions at ~3 s each, 127x slower than the
+    #     same op isolated), NOT intrinsic math cost. The roofline for a
+    #     PERFECT 1-core f32 CPU implementation of this step is ~1.4 s
+    #     (3 exp sweeps at the measured 371 M exp/s + matmuls + elementwise),
+    #     so vs_baseline is quoted against that 0.7 steps/s ceiling —
+    #     conservative in our DISFAVOR by >200x vs the measured stand-in
+    #     (and the reference itself runs f64 TF eager, below this ceiling).
     #   full-depth Sobol: `python bench.py --cpu --sobol-naive` -> 1.541 s
     #     (reference-style per-component numpy loop, L matrices precomputed —
     #      conservative: the reference rebuilds L inside the loop)
     #   for comparison, our own batched ladder on CPU: 0.935 s (--sobol-only)
-    BASELINE_STEPS_PER_SEC = 0.003
+    BASELINE_STEPS_PER_SEC = 0.7  # roofline CEILING for a perfect 1-core CPU
     BASELINE_SOBOL_SECS = 1.541
 
     final_loss = float(np.asarray(loss))
@@ -251,6 +259,74 @@ def run_profile(args):
         "full_step": scan_time(full_step),
     })
     print(json.dumps(out))
+
+
+def run_large_scale(args):
+    """Minibatch natural-gradient training at N = 10^6 on one chip — the
+    scale datapoint past the reference's regime (its largest run is pumadyn
+    at N=8192 full-batch BFGS; the reference has no minibatch path at all).
+    Measures warm steps/s of the device-resident natgrad+Adam scan
+    (batch 4096, M=512, depth 3) and the device's peak HBM if reported."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from oak_tpu.optim.natgrad import natgrad_adam_step
+    from oak_tpu.params import flatten_trainable
+
+    model, X, Y = _build_model(args)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    vec0, unflatten = flatten_trainable(model)
+    opt = optax.adam(1e-2)
+
+    def loss_fn(m, ib):
+        return m.training_loss(Xj[ib], Yj[ib])
+
+    step = natgrad_adam_step(opt, unflatten, loss_fn, gamma=1.0)
+
+    rng = np.random.default_rng(0)
+    T = args.steps
+
+    def make_idx(seed):
+        r = np.random.default_rng(seed)
+        return jnp.asarray(
+            np.stack([r.integers(0, args.n, args.batch) for _ in range(T)]),
+            jnp.int32)
+
+    @jax.jit
+    def run(vec, idx):
+        def one(carry, ib):
+            v, st = carry
+            v, st, loss = step(v, st, ib)
+            return (v, st), loss
+
+        (vec, _), losses = jax.lax.scan(one, (vec, opt.init(vec)), idx)
+        return vec, losses[-1]
+
+    vec, loss = run(vec0, make_idx(1))  # warmup/compile
+    jax.device_get(loss)
+    dt = float("inf")
+    for rep in range(2):
+        idx = make_idx(2 + rep)
+        t0 = time.perf_counter()
+        vec, loss = run(vec, idx)  # data dep on vec chains reps
+        jax.device_get(loss)
+        dt = min(dt, time.perf_counter() - t0)
+
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        mem = {"peak_hbm_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 3)}
+    except Exception:
+        pass
+    print(json.dumps({
+        "metric": "natgrad_minibatch_steps_per_sec",
+        "value": round(T / dt, 2), "unit": "steps/s",
+        "config": f"N={args.n} D={args.d} M={args.m} depth={args.depth} "
+                  f"batch={args.batch}",
+        "final_elbo_loss": float(jax.device_get(loss)),
+        "backend": jax.default_backend(), **mem,
+    }))
 
 
 def run_sobol_naive(args):
@@ -424,6 +500,10 @@ def main():
                     help="force the CPU backend (baseline measurement)")
     ap.add_argument("--sobol-only", action="store_true",
                     help="skip ELBO-step timing; Sobol wall-clock only")
+    ap.add_argument("--large-scale", action="store_true",
+                    help="N=10^6 minibatch natgrad scale run (one chip): "
+                         "steps/s + peak HBM; overrides --n/--steps defaults")
+    ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--sobol-naive", action="store_true",
                     help="time a reference-style per-component numpy Sobol "
                          "loop (the GPflow-CPU stand-in baseline)")
@@ -436,6 +516,10 @@ def main():
     args = ap.parse_args()
     if args.quick:
         args.n, args.d, args.m, args.steps = 512, 8, 64, 10
+    if args.large_scale and args.n == 8192:
+        args.n = 1_000_000
+        if args.steps == 50:
+            args.steps = 100
 
     if args.verify_leg:
         run_verify_leg(args.verify_leg)
@@ -455,6 +539,9 @@ def main():
         return
     if args.profile:
         run_profile(args)
+        return
+    if args.large_scale:
+        run_large_scale(args)
         return
     run_bench(args)
 

@@ -292,31 +292,59 @@ class oak_model:
         return lambda m: m.training_loss()
 
     def optimise(self, max_iters: int = 1000, compile: bool = True,
-                 restarts: int = 0, mesh=None):
+                 restarts: int = 0, mesh=None,
+                 checkpoint_path=None, checkpoint_every: int = 100):
         """``compile`` mirrors the reference's Scipy(..., compile=) tf.function
         toggle (model_utils.py:419-425): with optimizer='scipy' it switches
         between jitted and eager objective evaluation. The on-device
         optimizers (lbfgs/adam) are always compiled — jit IS their execution
         model.
 
-        ``restarts > 0`` (lbfgs only) runs that many jittered initializations
-        *in parallel* as one vmapped L-BFGS (optim/multistart.py) and keeps
-        the best non-degenerate fit; ``mesh`` shards the restarts axis over a
-        device mesh. With ``restarts=0`` the parallel multistart still kicks
-        in as a fallback when the single fit lands in the all-noise optimum."""
+        ``restarts > 0`` runs that many jittered initializations *in
+        parallel* as one batched program — vmapped L-BFGS / batched Adam
+        lanes / vmapped natgrad+Adam per the chosen optimizer
+        (optim/multistart.py) — and keeps the best non-degenerate fit;
+        ``mesh`` shards the restarts axis over a device mesh. With
+        ``restarts=0`` the parallel multistart still kicks in as a fallback
+        when the single fit lands in the all-noise optimum.
+
+        ``checkpoint_path``: mid-training checkpoint/resume for the
+        on-device optimizers (lbfgs incl. multistart, adam, natgrad) —
+        training state is persisted every ``checkpoint_every``
+        iterations/steps and a killed run resumes to the same trajectory.
+        Not supported with optimizer='scipy' (its optimizer state lives in
+        scipy). The reference has no training-state persistence
+        (model_utils.py:44-64 saves final hyperparameters only)."""
         t0 = time.time()
         self.alpha = None
         loss = self._loss_fn()
-        if restarts > 0 and self.optimizer != "lbfgs":
+        if restarts > 0 and self.optimizer == "scipy":
             # silently running a single start while the caller believes K
             # restarts ran would misattribute the result
-            raise ValueError("restarts > 0 requires optimizer='lbfgs' "
-                             f"(got optimizer={self.optimizer!r})")
+            raise ValueError("restarts > 0 requires an on-device optimizer "
+                             "(lbfgs/adam/natgrad); optimizer='scipy' is a "
+                             "host loop and cannot run batched lanes")
+        if checkpoint_path is not None and self.optimizer == "scipy":
+            raise ValueError("checkpoint_path is not supported with "
+                             "optimizer='scipy' (scipy owns the BFGS state)")
         if self.optimizer == "scipy":
             res = fit_scipy(self.m, loss, method="BFGS", max_iters=max_iters,
                             jit=compile)
         elif self.optimizer == "adam":
-            res = fit_adam(self.m, loss, steps=max_iters)
+            if restarts > 0:
+                from .optim import fit_adam_multistart
+
+                res = fit_adam_multistart(
+                    self.m, loss, n_starts=restarts, jitter=0.3, seed=0,
+                    steps=max_iters, include_init=True, mesh=mesh,
+                    accept_fn=lambda m: not (self._degenerate_noise_fit(m)
+                                             or self._pathological_fit(m)))
+            elif checkpoint_path is not None:
+                res = fit_adam_scan(self.m, loss, steps=max_iters,
+                                    checkpoint_path=checkpoint_path,
+                                    checkpoint_every=checkpoint_every)
+            else:
+                res = fit_adam(self.m, loss, steps=max_iters)
         elif self.optimizer == "natgrad":
             # natural-gradient steps on q(u) alternated with Adam on the
             # hyperparameters (SVGP only); exact variational step for
@@ -324,10 +352,28 @@ class oak_model:
             if not isinstance(self.m, SVGP):
                 raise ValueError("optimizer='natgrad' requires an SVGP model "
                                  "(likelihood='bernoulli' or sparse SVGP)")
-            from .optim import fit_natgrad_adam
-
             gamma = 1.0 if not isinstance(self.m.likelihood, Bernoulli) else 0.2
-            res = fit_natgrad_adam(self.m, loss, steps=max_iters, gamma=gamma)
+            if restarts > 0:
+                from .optim import fit_natgrad_multistart
+
+                res = fit_natgrad_multistart(
+                    self.m, loss, n_starts=restarts, jitter=0.3, seed=0,
+                    steps=max_iters, gamma=gamma, include_init=True,
+                    mesh=mesh,
+                    accept_fn=lambda m: not (self._degenerate_noise_fit(m)
+                                             or self._pathological_fit(m)))
+            elif checkpoint_path is not None:
+                from .optim import fit_natgrad_scan
+
+                res = fit_natgrad_scan(self.m, loss, steps=max_iters,
+                                       gamma=gamma,
+                                       checkpoint_path=checkpoint_path,
+                                       checkpoint_every=checkpoint_every)
+            else:
+                from .optim import fit_natgrad_adam
+
+                res = fit_natgrad_adam(self.m, loss, steps=max_iters,
+                                       gamma=gamma)
         else:
             from .optim import fit_lbfgs_multistart
 
@@ -346,12 +392,15 @@ class oak_model:
                     init, loss, n_starts=restarts, jitter=0.3, seed=0,
                     max_iters=max_iters, warm_adam_steps=warm_steps,
                     include_init=True, mesh=mesh,
+                    checkpoint_path=checkpoint_path,
                     accept_fn=lambda m: not bad_fit(m))
             else:
                 if is_svgp:
                     self.m = fit_adam(self.m, loss, steps=warm_steps,
                                       lr=2e-2).model
-                res = fit_lbfgs(self.m, loss, max_iters=max_iters)
+                res = fit_lbfgs(self.m, loss, max_iters=max_iters,
+                                checkpoint_path=checkpoint_path,
+                                checkpoint_every=checkpoint_every)
                 if bad_fit(res.model, res.fun):
                     # Two known f32 traps (f64 escapes both from the same
                     # init): (a) the Gamma(1, 0.2) sparsity prior makes the
@@ -370,10 +419,14 @@ class oak_model:
                     # sequential fallback's seed-0 (warm) lane, the recipe
                     # measured to escape on the autoMPG folds; the full-depth
                     # example runs were re-validated with this batched form
+                    # the retry writes its OWN checkpoint file (the primary
+                    # path's state is a different program's carry)
                     retry = fit_lbfgs_multistart(
                         init, loss, n_starts=2, jitter=0.3, seed=0,
                         max_iters=max_iters, warm_adam_steps=300,
                         include_init=False, mesh=mesh,
+                        checkpoint_path=(f"{checkpoint_path}.retry"
+                                         if checkpoint_path else None),
                         accept_fn=lambda m: not bad_fit(m))
                     # np.isfinite guard: an all-lanes-diverged multistart
                     # returns the UNTRAINED init with fun=inf — installing it
@@ -450,10 +503,11 @@ class oak_model:
         floating-point reduction order (tested in tests/test_sharding.py).
 
         ``checkpoint_path`` + ``checkpoint_every``: mid-training
-        checkpoint/resume (Adam paths) — training state (trainable vector,
-        Adam state, step) is written every ``checkpoint_every`` steps and, if
-        the file exists, training resumes from it toward the same ``steps``
-        total on the identical batch stream.
+        checkpoint/resume (Adam and natgrad, single-device and mesh) —
+        training state (trainable vector, optimizer state, step) is written
+        every ``checkpoint_every`` steps and, if the file exists, training
+        resumes from it toward the same ``steps`` total on the identical
+        batch stream.
 
         ``optimizer``: None (default) inherits the model-level optimizer when
         it is minibatch-capable ('adam'/'natgrad'), else Adam.
@@ -475,9 +529,6 @@ class oak_model:
             optimizer = self.optimizer if self.optimizer in ("adam", "natgrad") else "adam"
         if optimizer not in ("adam", "natgrad"):
             raise ValueError(f"optimizer must be 'adam' or 'natgrad', got {optimizer!r}")
-        if optimizer == "natgrad" and checkpoint_path is not None:
-            raise ValueError("checkpoint_path is not supported with "
-                             "optimizer='natgrad' (Adam-path feature)")
         X, Y = self._train_data
         n = X.shape[0]
         rng = np.random.default_rng(seed)
@@ -558,7 +609,9 @@ class oak_model:
 
                 res = fit_natgrad_scan(self.m, loss_fn, steps=steps,
                                        gamma=gamma, hyper_lr=lr,
-                                       batch_args=(idx,))
+                                       batch_args=(idx,),
+                                       checkpoint_path=checkpoint_path,
+                                       checkpoint_every=checkpoint_every)
             else:
                 res = fit_adam_scan(self.m, loss_fn, steps=steps, lr=lr,
                                     batch_args=(idx,),

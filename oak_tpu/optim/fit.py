@@ -138,12 +138,43 @@ def lbfgs_loop(loss_vec: Callable, max_iters: int, tol: float,
 
 
 def fit_lbfgs(model, loss_fn: Callable, max_iters: int = 500,
-              tol: float = 1e-8, memory_size: int = 30) -> FitResult:
-    """On-device L-BFGS with zoom linesearch; single jitted while_loop."""
+              tol: float = 1e-8, memory_size: int = 30,
+              checkpoint_path=None, checkpoint_every: int = 100,
+              resume: bool = True) -> FitResult:
+    """On-device L-BFGS with zoom linesearch; single jitted while_loop.
+
+    With ``checkpoint_path`` set the run executes in bounded chunks of
+    ``checkpoint_every`` iterations via ``lbfgs_parts`` and persists the full
+    carry (vec, L-BFGS state incl. linesearch, iteration count) after every
+    chunk — a killed multi-hour full-batch fit resumes to the SAME trajectory
+    (the while_loop chunking is exact: the carry is the whole optimizer
+    state). The reference has no training-state persistence at all
+    (/root/reference/oak/model_utils.py:44-64 saves final hyperparameters
+    only)."""
     vec0, unflatten, loss_vec = _vector_loss(model, loss_fn)
 
-    run = jax.jit(lbfgs_loop(loss_vec, max_iters, tol, memory_size))
-    vec, value, grad, iters = run(vec0)
+    if checkpoint_path is not None:
+        init, run_range, stats = lbfgs_parts(loss_vec, tol, memory_size)
+        run_chunk = jax.jit(run_range)
+        vec, state, it = vec0, init(vec0), 0
+        if resume and os.path.exists(checkpoint_path):
+            vec, state, it = load_train_state(checkpoint_path, state,
+                                              dtype=vec0.dtype)
+        chunk = checkpoint_every if checkpoint_every > 0 else 100
+        limit = it
+        while limit < max_iters:
+            limit = min(limit + chunk, max_iters)
+            vec, state, it_arr = run_chunk(vec, state, it, limit)
+            it = int(jax.device_get(it_arr))
+            save_train_state(checkpoint_path, jax.device_get(vec),
+                             jax.device_get(state), it)
+            if it < limit:
+                break  # converged inside the chunk; stays stopped
+        value, grad = stats(state)
+        iters = it
+    else:
+        run = jax.jit(lbfgs_loop(loss_vec, max_iters, tol, memory_size))
+        vec, value, grad, iters = run(vec0)
     fitted = unflatten(vec)
     # value/grad at the accepted iterate live in the optimizer state —
     # no extra (un-jitted) loss evaluation needed
@@ -277,10 +308,35 @@ def fit_adam_scan(model, loss_fn: Callable, steps: int = 1000, lr: float = 1e-2,
         updates, opt_state = opt.update(g, opt_state)
         return (optax.apply_updates(vec, updates), opt_state), v
 
+    vec, v, start, ran = scan_checkpoint_driver(
+        one_step, opt.init, vec0, steps, batch_args,
+        checkpoint_path, checkpoint_every, resume)
+    if not ran:
+        # checkpoint already covers the requested run: nothing to do, and
+        # that is success, not a failed fit
+        return FitResult(model=unflatten(vec), fun=float("nan"), num_iters=0,
+                         success=True,
+                         message=f"checkpoint at step {start} >= steps={steps};"
+                                 " nothing to run")
+    return FitResult(model=unflatten(vec), fun=float(v), num_iters=steps - start,
+                     success=bool(np.isfinite(float(v))))
+
+
+def scan_checkpoint_driver(one_step, opt_init, vec0, steps: int, batch_args,
+                           checkpoint_path, checkpoint_every: int,
+                           resume: bool):
+    """Shared chunked ``lax.scan`` driver with mid-training checkpoint/resume
+    (used by ``fit_adam_scan`` and ``natgrad.fit_natgrad_scan`` — one
+    definition of the resume semantics). ``one_step((vec, opt_state), xs)``
+    is the scan body. Returns ``(vec, last_loss, start, ran)``; ``ran`` is
+    False when an existing checkpoint already covered ``steps``. Resuming
+    consumes the identical remaining ``batch_args`` slice, so the resumed
+    trajectory equals the uninterrupted one."""
+
     @partial(jax.jit, static_argnums=(3,))
-    def run(vec, opt_state, batch_args, length):
+    def run(vec, opt_state, args, length):
         (vec, opt_state), losses = jax.lax.scan(
-            one_step, (vec, opt_state), batch_args, length=length)
+            one_step, (vec, opt_state), args, length=length)
         return vec, opt_state, losses[-1] if length else jnp.asarray(jnp.inf)
 
     def slice_args(lo, hi):
@@ -288,17 +344,15 @@ def fit_adam_scan(model, loss_fn: Callable, steps: int = 1000, lr: float = 1e-2,
             return None
         return tuple(a[lo:hi] for a in batch_args)
 
-    vec, opt_state, start = vec0, opt.init(vec0), 0
+    vec, opt_state, start = vec0, opt_init(vec0), 0
     if checkpoint_path is not None and resume and os.path.exists(checkpoint_path):
         vec, opt_state, start = load_train_state(checkpoint_path, opt_state,
                                                  dtype=vec0.dtype)
-    if start >= steps:
-        # checkpoint already covers the requested run: nothing to do, and
-        # that is success, not a failed fit
-        return FitResult(model=unflatten(vec), fun=float("nan"), num_iters=0,
-                         success=True,
-                         message=f"checkpoint at step {start} >= steps={steps};"
-                                 " nothing to run")
+    if start >= steps and start > 0:
+        # a loaded checkpoint already covers the request (start == 0 means
+        # nothing was loaded: a fresh steps=0 run falls through and reports
+        # an unsuccessful inf-loss fit, as before)
+        return vec, jnp.asarray(jnp.nan), start, False
 
     chunk = (checkpoint_every if (checkpoint_path is not None
                                   and checkpoint_every > 0) else steps - start)
@@ -311,5 +365,4 @@ def fit_adam_scan(model, loss_fn: Callable, steps: int = 1000, lr: float = 1e-2,
         if checkpoint_path is not None:
             save_train_state(checkpoint_path, jax.device_get(vec),
                              jax.device_get(opt_state), i)
-    return FitResult(model=unflatten(vec), fun=float(v), num_iters=steps - start,
-                     success=bool(np.isfinite(float(v))))
+    return vec, v, start, True

@@ -52,13 +52,31 @@ def _make_starts(vec0, n_starts: int, jitter: float, seed: int,
 CHUNK_ITERS = 100
 
 
+def _pick_best(vecs, values, unflatten, dtype,
+               accept_fn: Optional[Callable]) -> int:
+    """Host-side restart selection shared by every multistart flavor: the
+    best *accepted* lane by loss, falling back to the best overall when no
+    finite lane passes ``accept_fn``."""
+    order = np.argsort(values, kind="stable")
+    best = int(order[0])
+    if accept_fn is not None:
+        for i in order:
+            if not np.isfinite(values[i]):
+                break
+            if accept_fn(unflatten(jnp.asarray(vecs[i], dtype))):
+                best = int(i)
+                break
+    return best
+
+
 def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
                          jitter: float = 0.3, seed: int = 0,
                          max_iters: int = 500, tol: float = 1e-8,
                          memory_size: int = 30, warm_adam_steps: int = 0,
                          warm_lr: float = 2e-2, include_init: bool = True,
                          accept_fn: Optional[Callable] = None,
-                         mesh=None, chunk_iters: Optional[int] = None
+                         mesh=None, chunk_iters: Optional[int] = None,
+                         checkpoint_path=None, resume: bool = True
                          ) -> FitResult:
     """Optimize ``loss_fn(model)`` from ``n_starts`` jittered initializations
     in parallel; return the best accepted restart.
@@ -73,10 +91,16 @@ def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
       its own restarts). ``n_starts`` must then be divisible by the mesh size.
     - ``chunk_iters``: L-BFGS iterations per device call (default
       ``CHUNK_ITERS``; see its comment — bounds single-program runtime).
+    - ``checkpoint_path``: persist the FULL batched carry (all lanes' vecs,
+      L-BFGS states, per-lane iteration counts, chunk limit) after every
+      chunk; a killed run resumes to the SAME trajectory (the chunked
+      while_loop carries exact state, so chunk boundaries don't alter math).
 
     The per-start final losses are exposed on ``FitResult.message``.
     """
-    from .fit import lbfgs_parts
+    import os
+
+    from .fit import lbfgs_parts, load_train_state, save_train_state
 
     chunk = chunk_iters or CHUNK_ITERS
     vec0, unflatten = flatten_trainable(model)
@@ -131,11 +155,27 @@ def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
         values = jnp.where(jnp.isfinite(values), values, jnp.inf)
         return values, jnp.sqrt(jnp.sum(grads * grads, axis=-1))
 
-    vecs, states, its = prepare(starts)
     limit = 0
+    resumed = False
+    if checkpoint_path is not None and resume and os.path.exists(checkpoint_path):
+        # rebuild the (states, its) template without re-running the warmup
+        tmpl = (jax.vmap(init)(starts), jnp.zeros((n_starts,), jnp.int32))
+        vecs, (states, its), limit = load_train_state(
+            checkpoint_path, tmpl, dtype=vec0.dtype)
+        resumed = True
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = list(mesh.shape.keys())[0]
+            vecs = jax.device_put(vecs, NamedSharding(mesh, P(axis)))
+    if not resumed:
+        vecs, states, its = prepare(starts)
     while limit < max_iters:
         limit = min(limit + chunk, max_iters)
         vecs, states, its = run_chunk(vecs, states, its, limit)
+        if checkpoint_path is not None:
+            save_train_state(checkpoint_path, jax.device_get(vecs),
+                             jax.device_get((states, its)), limit)
         # a lane stopped below the limit has converged and stays stopped;
         # continue only while some lane is still consuming iterations
         if not (np.asarray(jax.device_get(its)) >= limit).any():
@@ -151,16 +191,7 @@ def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
                          success=False,
                          message=f"all {n_starts} parallel restarts diverged")
 
-    order = np.argsort(values, kind="stable")
-    best = int(order[0])
-    if accept_fn is not None:
-        for i in order:
-            if not np.isfinite(values[i]):
-                break
-            if accept_fn(unflatten(jnp.asarray(vecs[i], vec0.dtype))):
-                best = int(i)
-                break
-
+    best = _pick_best(vecs, values, unflatten, vec0.dtype, accept_fn)
     fitted = unflatten(jnp.asarray(vecs[best], vec0.dtype))
     gnorm = float(gnorms[best])
     converged = bool(np.isfinite(values[best])) and gnorm <= tol
@@ -169,3 +200,109 @@ def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
     return FitResult(model=fitted, fun=float(values[best]),
                      num_iters=int(iters[best]), success=converged,
                      message=msg, grad_norm=gnorm)
+
+
+def _shard_starts(starts, n_starts: int, mesh):
+    """Shard the restarts axis over the mesh's first axis (each device runs
+    its own lanes; GSPMD propagates the sharding through the batched scan)."""
+    if mesh is None:
+        return starts
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if n_starts % n_dev:
+        raise ValueError(f"n_starts={n_starts} must be divisible by the "
+                         f"mesh size {n_dev}")
+    axis = list(mesh.shape.keys())[0]
+    return jax.device_put(starts, NamedSharding(mesh, P(axis)))
+
+
+def _finish_multistart(vecs, values, unflatten, dtype, n_starts: int,
+                       steps: int, model, accept_fn, kind: str) -> FitResult:
+    values = np.where(np.isfinite(values), values, np.inf)
+    if not np.isfinite(values).any():
+        return FitResult(model=model, fun=float("inf"), num_iters=0,
+                         success=False,
+                         message=f"all {n_starts} parallel {kind} restarts "
+                                 "diverged")
+    best = _pick_best(vecs, values, unflatten, dtype, accept_fn)
+    fitted = unflatten(jnp.asarray(vecs[best], dtype))
+    msg = (f"best of {n_starts} parallel {kind} restarts (losses: "
+           + ", ".join(f"{v:.4g}" for v in np.asarray(values)) + ")")
+    return FitResult(model=fitted, fun=float(values[best]), num_iters=steps,
+                     success=bool(np.isfinite(values[best])), message=msg)
+
+
+def fit_adam_multistart(model, loss_fn: Callable, n_starts: int = 4,
+                        jitter: float = 0.3, seed: int = 0,
+                        steps: int = 1000, lr: float = 1e-2,
+                        include_init: bool = True,
+                        accept_fn: Optional[Callable] = None,
+                        mesh=None) -> FitResult:
+    """K jittered Adam runs as ONE batched ``lax.scan`` (each scan step takes
+    one vmapped Adam step on every lane); the best accepted lane by final
+    full loss wins. The Adam analogue of ``fit_lbfgs_multistart`` — lifts
+    round 1's lbfgs-only restarts restriction (VERDICT r1 item 5)."""
+    vec0, unflatten = flatten_trainable(model)
+    starts = _shard_starts(_make_starts(vec0, n_starts, jitter, seed,
+                                        include_init), n_starts, mesh)
+
+    def loss_vec(vec):
+        return loss_fn(unflatten(vec))
+
+    opt = optax.adam(lr)
+
+    def one_step(carry, _):
+        vecs, st = carry
+        g = jax.vmap(jax.grad(loss_vec))(vecs)
+        g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
+        up, st = opt.update(g, st)
+        return (optax.apply_updates(vecs, up), st), None
+
+    @jax.jit
+    def run(starts):
+        (vecs, _), _ = jax.lax.scan(one_step, (starts, opt.init(starts)),
+                                    None, length=steps)
+        return vecs, jax.vmap(loss_vec)(vecs)
+
+    vecs, values = jax.device_get(run(starts))
+    return _finish_multistart(vecs, values, unflatten, vec0.dtype, n_starts,
+                              steps, model, accept_fn, "adam")
+
+
+def fit_natgrad_multistart(model, loss_fn: Callable, n_starts: int = 4,
+                           jitter: float = 0.3, seed: int = 0,
+                           steps: int = 200, gamma: float = 0.1,
+                           hyper_lr: float = 1e-2, include_init: bool = True,
+                           accept_fn: Optional[Callable] = None,
+                           mesh=None) -> FitResult:
+    """K jittered natgrad+Adam runs as ONE batched ``lax.scan`` over the
+    vmapped alternating update (``natgrad.natgrad_adam_step`` — the SAME
+    update definition the single-start optimizers run, so the lanes cannot
+    silently diverge from ``fit_natgrad_adam``'s math)."""
+    from .natgrad import natgrad_adam_step
+
+    vec0, unflatten = flatten_trainable(model)
+    starts = _shard_starts(_make_starts(vec0, n_starts, jitter, seed,
+                                        include_init), n_starts, mesh)
+    opt = optax.adam(hyper_lr)
+    step = natgrad_adam_step(opt, unflatten, lambda m: loss_fn(m), gamma)
+
+    def one_step(carry, _):
+        vecs, sts = carry
+        vecs, sts, losses = jax.vmap(step)(vecs, sts)
+        return (vecs, sts), losses
+
+    def loss_vec(vec):
+        return loss_fn(unflatten(vec))
+
+    @jax.jit
+    def run(starts):
+        sts = jax.vmap(opt.init)(starts)
+        (vecs, _), _ = jax.lax.scan(one_step, (starts, sts), None,
+                                    length=steps)
+        return vecs, jax.vmap(loss_vec)(vecs)
+
+    vecs, values = jax.device_get(run(starts))
+    return _finish_multistart(vecs, values, unflatten, vec0.dtype, n_starts,
+                              steps, model, accept_fn, "natgrad")

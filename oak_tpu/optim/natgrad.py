@@ -164,12 +164,22 @@ def fit_natgrad_adam(model, loss_fn: Callable, steps: int = 200,
 
 def fit_natgrad_scan(model, loss_fn: Callable, steps: int = 200,
                      gamma: float = 0.1, hyper_lr: float = 1e-2,
-                     batch_args=None) -> FitResult:
+                     batch_args=None, checkpoint_path=None,
+                     checkpoint_every: int = 0, resume: bool = True
+                     ) -> FitResult:
     """Device-resident form of ``fit_natgrad_adam``: the whole alternating
     natgrad/Adam run is ONE ``lax.scan`` under jit (same update math — same
     stream in, same trajectory out, tested). ``batch_args``: tuple of arrays
     with leading dim ``steps``; step i calls
-    ``loss_fn(model, *[a[i] for a in batch_args])``."""
+    ``loss_fn(model, *[a[i] for a in batch_args])``.
+
+    ``checkpoint_path`` + ``checkpoint_every``: same mid-training
+    checkpoint/resume semantics as ``fit_adam_scan`` (shared
+    ``scan_checkpoint_driver``) — the natgrad state lives entirely in
+    (trainable vector, Adam hyper-state), so (vec, opt_state, step) is the
+    whole carry and a resumed run replays the identical trajectory."""
+    from .fit import scan_checkpoint_driver
+
     vec0, unflatten = flatten_trainable(model)
     opt = optax.adam(hyper_lr)
     step = natgrad_adam_step(opt, unflatten, loss_fn, gamma)
@@ -180,12 +190,14 @@ def fit_natgrad_scan(model, loss_fn: Callable, steps: int = 200,
         vec, opt_state, loss = step(vec, opt_state, *args)
         return (vec, opt_state), loss
 
-    @jax.jit
-    def run(vec, batch_args):
-        (vec, _), losses = jax.lax.scan(one_step, (vec, opt.init(vec)),
-                                        batch_args, length=steps)
-        return vec, losses[-1] if steps else jnp.asarray(jnp.inf)
-
-    vec, loss = run(vec0, batch_args)
-    return FitResult(model=unflatten(vec), fun=float(loss), num_iters=steps,
+    vec, loss, start, ran = scan_checkpoint_driver(
+        one_step, opt.init, vec0, steps, batch_args,
+        checkpoint_path, checkpoint_every, resume)
+    if not ran:
+        return FitResult(model=unflatten(vec), fun=float("nan"), num_iters=0,
+                         success=True,
+                         message=f"checkpoint at step {start} >= steps={steps};"
+                                 " nothing to run")
+    return FitResult(model=unflatten(vec), fun=float(loss),
+                     num_iters=steps - start,
                      success=bool(np.isfinite(float(loss))))

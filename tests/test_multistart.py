@@ -103,3 +103,83 @@ def test_optimise_restarts_entry_point(rng):
     rmse = float(np.sqrt(np.mean((pred - y[:, 0]) ** 2)))
     base = float(np.sqrt(np.mean((y - y.mean()) ** 2)))
     assert rmse < base  # beats the mean predictor
+
+
+def test_adam_multistart_runs_and_beats_single(rng):
+    from oak_tpu.optim import fit_adam, fit_adam_multistart
+
+    m = _model(rng)
+    loss = lambda mm: mm.training_loss()  # noqa: E731
+    single = fit_adam(m, loss, steps=60)
+    multi = fit_adam_multistart(m, loss, n_starts=3, jitter=0.2, steps=60,
+                                include_init=True)
+    assert multi.fun <= single.fun + 1e-5
+    assert "adam restarts" in multi.message
+
+
+def test_natgrad_multistart_svgp(rng):
+    from oak_tpu.models import SVGP, Gaussian
+    from oak_tpu.optim import fit_natgrad_adam, fit_natgrad_multistart
+
+    X = rng.normal(size=(24, 2))
+    y = (np.sin(X[:, 0]) + 0.3 * X[:, 1]).reshape(-1, 1)
+    k = OAKKernel.create(num_dims=2, max_interaction_depth=2)
+    m = SVGP.create(k, Gaussian.create(0.1), X[:8], num_data=24)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+    loss = lambda mm: mm.training_loss(Xj, Yj)  # noqa: E731
+    single = fit_natgrad_adam(m, loss, steps=40, gamma=1.0)
+    multi = fit_natgrad_multistart(m, loss, n_starts=2, jitter=0.2, steps=40,
+                                   gamma=1.0, include_init=True)
+    assert np.isfinite(multi.fun)
+    assert multi.fun <= single.fun + 1e-5
+    assert "natgrad restarts" in multi.message
+
+
+def test_lbfgs_multistart_checkpoint_resume(rng, tmp_path):
+    """VERDICT r1 item 4: a killed chunked multistart resumes to the same
+    trajectory — the persisted carry is the full batched optimizer state."""
+    m = _model(rng)
+    loss = lambda mm: mm.training_loss()  # noqa: E731
+    full = fit_lbfgs_multistart(m, loss, n_starts=2, jitter=0.2,
+                                max_iters=30, chunk_iters=10)
+
+    ck = str(tmp_path / "multistart_state.npz")
+    # "crash" after the first 10-iteration chunk...
+    fit_lbfgs_multistart(m, loss, n_starts=2, jitter=0.2, max_iters=10,
+                         chunk_iters=10, checkpoint_path=ck)
+    # ...then resume toward the same 30-iteration total
+    resumed = fit_lbfgs_multistart(m, loss, n_starts=2, jitter=0.2,
+                                   max_iters=30, chunk_iters=10,
+                                   checkpoint_path=ck)
+    v1, _ = flatten_trainable(full.model)
+    v2, _ = flatten_trainable(resumed.model)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-12)
+    assert np.isclose(full.fun, resumed.fun, rtol=1e-10)
+
+
+def test_oak_model_restarts_with_adam_and_natgrad(rng):
+    """VERDICT r1 item 5: restarts>0 now runs batched lanes for adam and
+    natgrad too (was lbfgs-only); scipy still rejects loudly."""
+    import pytest
+
+    from oak_tpu.model import oak_model
+
+    X = rng.normal(size=(30, 2))
+    y = (np.sin(X[:, 0]) + 0.3 * X[:, 1]).reshape(-1, 1)
+
+    oak = oak_model(max_interaction_depth=2, optimizer="adam")
+    oak.fit(X, y, optimise=False)
+    res = oak.optimise(max_iters=40, restarts=2)
+    assert np.isfinite(res.fun) and "adam restarts" in res.message
+
+    yb = (X[:, 0] > 0).astype(float).reshape(-1, 1)
+    oakn = oak_model(max_interaction_depth=2, optimizer="natgrad",
+                     likelihood="bernoulli", num_inducing=8)
+    oakn.fit(X, yb, optimise=False)
+    resn = oakn.optimise(max_iters=40, restarts=2)
+    assert np.isfinite(resn.fun) and "natgrad restarts" in resn.message
+
+    oaks = oak_model(max_interaction_depth=2, optimizer="scipy")
+    oaks.fit(X, y, optimise=False)
+    with pytest.raises(ValueError, match="scipy"):
+        oaks.optimise(max_iters=5, restarts=2)

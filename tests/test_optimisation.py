@@ -205,14 +205,106 @@ def test_optimise_minibatch_mesh_checkpoint(rng, tmp_path):
                                rtol=1e-8, atol=1e-10)
 
 
-def test_optimise_restarts_requires_lbfgs(rng):
+def test_optimise_restarts_scipy_rejected(rng):
+    # round 2 lifted the lbfgs-only restriction: adam/natgrad run batched
+    # restart lanes now (tests/test_multistart.py); only the host-loop scipy
+    # optimizer still rejects restarts
     from oak_tpu.model import oak_model
 
     X = rng.normal(size=(20, 2))
     y = X[:, :1]
-    oak = oak_model(max_interaction_depth=2, optimizer="adam")
+    oak = oak_model(max_interaction_depth=2, optimizer="scipy")
     oak.fit(X, y, optimise=False)
     import pytest
 
     with pytest.raises(ValueError, match="restarts"):
         oak.optimise(max_iters=3, restarts=2)
+
+
+def test_lbfgs_checkpoint_resume(rng, tmp_path):
+    """VERDICT r1 item 4: fit_lbfgs with checkpoint_path persists the full
+    (vec, L-BFGS state, iter) carry per chunk; a killed run resumes to the
+    SAME trajectory as the uninterrupted one."""
+    from oak_tpu.optim import fit_lbfgs
+    from oak_tpu.params import flatten_trainable
+
+    m = _model(rng)
+    loss = lambda mm: mm.training_loss()  # noqa: E731
+    ck = str(tmp_path / "lbfgs_state.npz")
+    full = fit_lbfgs(m, loss, max_iters=30, checkpoint_path=None)
+    # "crash" after 10 iterations...
+    fit_lbfgs(m, loss, max_iters=10, checkpoint_path=ck, checkpoint_every=10)
+    # ...resume to the same 30-iteration total
+    resumed = fit_lbfgs(m, loss, max_iters=30, checkpoint_path=ck,
+                        checkpoint_every=10)
+    v1, _ = flatten_trainable(full.model)
+    v2, _ = flatten_trainable(resumed.model)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-12)
+    assert np.isclose(full.fun, resumed.fun, rtol=1e-10)
+
+
+def test_natgrad_scan_checkpoint_resume(rng, tmp_path):
+    """natgrad minibatch training is resumable (was Adam-only in round 1)."""
+    import jax.numpy as jnp
+
+    from oak_tpu.kernels import OAKKernel
+    from oak_tpu.models import SVGP, Gaussian
+    from oak_tpu.optim import fit_natgrad_scan
+    from oak_tpu.params import flatten_trainable
+
+    X = rng.normal(size=(24, 2))
+    y = (np.sin(X[:, 0]) + 0.3 * X[:, 1]).reshape(-1, 1)
+    k = OAKKernel.create(num_dims=2, max_interaction_depth=2)
+    m = SVGP.create(k, Gaussian.create(0.1), X[:8], num_data=24)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+    idx = jnp.asarray(np.stack(
+        [np.random.default_rng(i).choice(24, 8, replace=False)
+         for i in range(10)]))
+
+    def loss_batch(mm, ib):
+        return mm.training_loss(Xj[ib], Yj[ib])
+
+    full = fit_natgrad_scan(m, loss_batch, steps=10, gamma=0.5,
+                            batch_args=(idx,))
+    ck = str(tmp_path / "natgrad_state.npz")
+    fit_natgrad_scan(m, loss_batch, steps=6, gamma=0.5, batch_args=(idx,),
+                     checkpoint_path=ck, checkpoint_every=3)
+    resumed = fit_natgrad_scan(m, loss_batch, steps=10, gamma=0.5,
+                               batch_args=(idx,), checkpoint_path=ck,
+                               checkpoint_every=3)
+    assert resumed.num_iters == 4
+    v1, _ = flatten_trainable(full.model)
+    v2, _ = flatten_trainable(resumed.model)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-12)
+
+
+def test_optimise_minibatch_natgrad_checkpoint(rng, tmp_path):
+    """oak_model natgrad minibatch training accepts checkpoint_path now."""
+    from oak_tpu.model import oak_model
+    from oak_tpu.params import flatten_trainable
+
+    X = rng.normal(size=(40, 2))
+    yb = (X[:, 0] > 0).astype(float).reshape(-1, 1)
+
+    def fresh():
+        oak = oak_model(max_interaction_depth=2, likelihood="bernoulli",
+                        num_inducing=8)
+        oak.fit(X, yb, optimise=False)
+        return oak
+
+    ck = str(tmp_path / "mb_natgrad.npz")
+    a = fresh()
+    a.optimise_minibatch(batch_size=16, steps=8, optimizer="natgrad",
+                         gamma=0.5, seed=3)
+    va, _ = flatten_trainable(a.m)
+
+    b = fresh()
+    b.optimise_minibatch(batch_size=16, steps=4, optimizer="natgrad",
+                         gamma=0.5, seed=3, checkpoint_path=ck,
+                         checkpoint_every=2)
+    b.m = fresh().m  # wipe; resume must restore from the file
+    b.optimise_minibatch(batch_size=16, steps=8, optimizer="natgrad",
+                         gamma=0.5, seed=3, checkpoint_path=ck,
+                         checkpoint_every=2)
+    vb, _ = flatten_trainable(b.m)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-12)

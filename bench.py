@@ -282,7 +282,10 @@ def run_large_scale(args):
     def loss_fn(m, ib):
         return m.training_loss(Xj[ib], Yj[ib])
 
-    step = natgrad_adam_step(opt, unflatten, loss_fn, gamma=1.0)
+    # gamma=0.1 (the optimise_minibatch default): a unit natural-gradient
+    # step is exact only for the FULL data; on minibatches it jumps q(u) to
+    # each batch's optimum and diverges (measured: loss -> inf at gamma=1)
+    step = natgrad_adam_step(opt, unflatten, loss_fn, gamma=0.1)
 
     rng = np.random.default_rng(0)
     T = args.steps
@@ -316,7 +319,9 @@ def run_large_scale(args):
     mem = {}
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
-        mem = {"peak_hbm_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 3)}
+        peak = stats.get("peak_bytes_in_use", 0)
+        if peak:  # the axon relay reports no memory stats — omit zeros
+            mem = {"peak_hbm_gb": round(peak / 2**30, 3)}
     except Exception:
         pass
     print(json.dumps({

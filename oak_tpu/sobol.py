@@ -51,6 +51,12 @@ from .kernels import (
     component_index_tuples,
 )
 from .kernels import ortho_binary, ortho_categorical, ortho_rbf
+
+# group-stacking helpers live in kernels.oak_kernel (shared with the fused
+# K_diag path); kept under their original names for in-repo users
+from .kernels.oak_kernel import per_dim_batched as _kernel_per_dim_batched
+from .kernels.oak_kernel import stack_group as _stack_group
+from .kernels.oak_kernel import stackable_groups as _stackable_groups
 from .measures import (
     EmpiricalMeasure,
     GaussianMeasure,
@@ -261,48 +267,8 @@ def factor_form(kernel, x: jnp.ndarray, num_points: int = 64):
 # --------------------------------------------------------------------------- #
 # Sobol indices over all components
 # --------------------------------------------------------------------------- #
-def _stackable_groups(kernels) -> List[List[int]]:
-    """Group kernel indices whose pytrees stack (same type, same treedef after
-    normalizing the static active_dim, same leaf shapes) — each group can run
-    per-dim computations as ONE vmapped call instead of a Python loop of
-    launches (at D=32 the loop of tiny grams costs ~10 ms of pure launch
-    overhead on TPU)."""
-    groups: List[List[int]] = []
-    keys = []
-    for i, k in enumerate(kernels):
-        k0 = k.replace(active_dim=0)
-        key = (jax.tree_util.tree_structure(k0),
-               tuple(jnp.shape(l) for l in jax.tree_util.tree_leaves(k0)))
-        for g, kk in zip(groups, keys):
-            if kk == key:
-                g.append(i)
-                break
-        else:
-            groups.append([i])
-            keys.append(key)
-    return groups
-
-
-def _stack_group(kernels, idx):
-    return jax.tree_util.tree_map(
-        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-        *[kernels[i].replace(active_dim=0) for i in idx])
-
-
 def _per_dim_batched(oak: OAKKernel, X: jnp.ndarray, fn):
-    """Evaluate ``fn(kernel, column)`` for every constituent kernel, vmapping
-    each stackable group. Returns a list in dim order (entries may share a
-    batched buffer)."""
-    out = [None] * len(oak.kernels)
-    for idx in _stackable_groups(oak.kernels):
-        cols = jnp.stack([X[:, oak.kernels[i].active_dim] for i in idx])
-        if len(idx) == 1:
-            out[idx[0]] = fn(oak.kernels[idx[0]], cols[0])
-            continue
-        res = jax.vmap(fn)(_stack_group(oak.kernels, idx), cols)
-        for j, i in enumerate(idx):
-            out[i] = jax.tree_util.tree_map(lambda r: r[j], res)
-    return out
+    return _kernel_per_dim_batched(oak.kernels, X, fn)
 
 
 def _dim_L_stack(oak: OAKKernel, X: jnp.ndarray, delta=None, mu=None) -> jnp.ndarray:

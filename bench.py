@@ -37,7 +37,7 @@ def synth_pumadyn(n=8192, d=32, seed=0):
     return X.astype(np.float32), y.reshape(-1, 1).astype(np.float32)
 
 
-def _build_model(args):
+def _build_model(args, q_diag=True):
     import jax.numpy as jnp
 
     from oak_tpu.kernels import OAKKernel
@@ -50,7 +50,7 @@ def _build_model(args):
                               use_sparsity_prior=True,
                               lengthscale_bounds=[1e-3, 1e3], dtype=jnp.float32)
     model = SVGP.create(kernel, Gaussian.create(0.01, dtype=jnp.float32), Z,
-                        num_data=args.n, dtype=jnp.float32)
+                        num_data=args.n, q_diag=q_diag, dtype=jnp.float32)
     return model, X, Y
 
 
@@ -274,7 +274,12 @@ def run_large_scale(args):
     from oak_tpu.optim.natgrad import natgrad_adam_step
     from oak_tpu.params import flatten_trainable
 
-    model, X, Y = _build_model(args)
+    # natgrad REQUIRES the full-covariance q: the mean-field (q_diag) natural
+    # step diverges at this scale for any practical gamma (measured:
+    # ~30x/step loss growth identically at gamma=0.1 and 1e-3 — see
+    # optim/natgrad.py STABILITY note), while the full-q update at gamma=0.1
+    # converges monotonically on the same config
+    model, X, Y = _build_model(args, q_diag=False)
     Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
     vec0, unflatten = flatten_trainable(model)
     opt = optax.adam(1e-2)

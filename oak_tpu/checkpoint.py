@@ -195,6 +195,10 @@ def save_oak_model(oak, path) -> None:
         "categorical_index": oak.categorical_index,
         "model_kind": type(oak.m).__name__,
         "flow_dims": [i for i, f in enumerate(oak.input_flows) if f is not None],
+        # SVGP static structure (natgrad-constructed models use a full-
+        # covariance q — the load template must match the saved leaf shapes)
+        "q_diag": bool(getattr(oak.m, "q_diag", True)),
+        "whiten": bool(getattr(oak.m, "whiten", True)),
     }
 
     arrays = {"config": np.frombuffer(json.dumps(config).encode(), np.uint8)}
@@ -315,7 +319,9 @@ def load_oak_model(path):
     if kind == "SVGP":
         M = data["m.Z.raw"].shape[0]
         template = SVGP.create(kernel, Bernoulli.create("logit"), np.zeros((M, oak.num_dims)),
-                               q_diag=True, whiten=True, num_data=X.shape[0])
+                               q_diag=config.get("q_diag", True),
+                               whiten=config.get("whiten", True),
+                               num_data=X.shape[0])
         oak._train_data = (data["train_X"], data["train_Y"])
     elif kind == "SGPR":
         M = data["m.Z.raw"].shape[0]

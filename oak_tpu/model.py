@@ -267,8 +267,14 @@ class oak_model:
             # uci_classification_train.py:108-124)
             if Z is None:
                 Z = self.X_scaled
+            # q_diag=True matches the reference's mean-field default EXCEPT
+            # under natgrad: diag-family natural-gradient steps diverge at
+            # scale (optim/natgrad.py STABILITY note; GPflow's
+            # NaturalGradient refuses q_diag models), so a natgrad-
+            # constructed model gets the full-covariance q it needs
             self.m = SVGP.create(kernel, Bernoulli.create("logit"), Z,
-                                 q_diag=True, whiten=True,
+                                 q_diag=(self.optimizer != "natgrad"),
+                                 whiten=True,
                                  num_data=self.X_scaled.shape[0])
             self._train_data = (self.X_scaled, self.Y_scaled)
         elif Z is not None:
@@ -515,8 +521,11 @@ class oak_model:
         alternated with Adam(lr) on the hyperparameters — the standard
         large-scale SVGP recipe (device-resident scan single-device;
         ``data_parallel_natgrad_step`` on a mesh). ``gamma`` is the natgrad
-        step size (use 1.0 for Gaussian likelihoods: each variational step
-        is then exact for the batch).
+        step size; the 0.1 default is the stable minibatch choice (a unit
+        step is exact only FULL-batch with a Gaussian likelihood and a full-
+        covariance q — on minibatches it jumps q(u) to each batch's optimum
+        and diverges). Natgrad needs q_diag=False (optim/natgrad.py
+        STABILITY note); a q_diag model gets a warning.
         """
         if not isinstance(self.m, SVGP):
             raise ValueError("minibatch training requires likelihood='bernoulli' "

@@ -280,8 +280,9 @@ def fit_natgrad_multistart(model, loss_fn: Callable, n_starts: int = 4,
     vmapped alternating update (``natgrad.natgrad_adam_step`` — the SAME
     update definition the single-start optimizers run, so the lanes cannot
     silently diverge from ``fit_natgrad_adam``'s math)."""
-    from .natgrad import natgrad_adam_step
+    from .natgrad import natgrad_adam_step, warn_if_q_diag
 
+    warn_if_q_diag(model)
     vec0, unflatten = flatten_trainable(model)
     starts = _shard_starts(_make_starts(vec0, n_starts, jitter, seed,
                                         include_init), n_starts, mesh)

@@ -7,11 +7,25 @@ eta2 = S + m m^T) is the natural gradient:
 
     theta <- theta - gamma * dL/d(eta)
 
-For a GAUSSIAN likelihood the ELBO is concave in eta and one unit step
-(gamma = 1) lands q(u) exactly on the optimal variational distribution — the
-SVGP bound collapses onto the Titsias SGPR bound (tested). For non-conjugate
-likelihoods (Bernoulli) smaller steps converge in far fewer iterations than
-Adam on the raw (m, sqrt(S)) parameterization.
+For a GAUSSIAN likelihood with a FULL-covariance q (q_diag=False) the ELBO
+is concave in eta and one unit step (gamma = 1) on the full data lands q(u)
+exactly on the optimal variational distribution — the SVGP bound collapses
+onto the Titsias SGPR bound (tested). For non-conjugate likelihoods
+(Bernoulli) smaller steps converge in far fewer iterations than Adam on the
+raw (m, sqrt(S)) parameterization.
+
+STABILITY — use q_diag=False for natural gradients. The mean-field family
+(q_diag=True) restricts the update to diagonal natural parameters while the
+true posterior precision Kuu^-1 + Kuu^-1 Kuf Kfu Kuu^-1 / sigma^2 is
+strongly coupled off-diagonal; the diag step crushes S on diagonal
+curvature, theta1 = m/S then amplifies the mean update along the ignored
+coupled directions, and the iteration diverges for ANY practical gamma once
+(num_data/batch) * prior_variance/noise_variance is large (measured on the
+D=32 depth-3 bench config: loss grows ~30x/step identically at gamma=0.1
+and 1e-3; the full-q update converges monotonically at gamma=0.1 at the
+same config). This is why gpflow.optimizers.NaturalGradient refuses q_diag
+models outright; we keep the diag branch for small-scale non-conjugate use
+(where it is well-behaved and cheaper) but warn at every entry point.
 
 This replaces the role of gpflow.optimizers.NaturalGradient, which the
 reference stack has available but never uses (it runs full-batch BFGS on all
@@ -36,6 +50,26 @@ from ..params import apply_trainable_mask, flatten_trainable
 from .fit import FitResult
 
 _VAR_FLOOR = 1e-10
+
+
+def warn_if_q_diag(model) -> None:
+    """One-line hazard warning when natural gradients run on a mean-field q.
+
+    Called (host-side, before tracing) by every natgrad entry point —
+    fit_natgrad_adam / fit_natgrad_scan / fit_natgrad_multistart /
+    data_parallel_natgrad_step. See the module docstring's STABILITY note:
+    the diag-family step diverges at scale for any practical gamma; GPflow's
+    NaturalGradient rejects q_diag models entirely."""
+    if getattr(model, "q_diag", False):
+        import warnings
+
+        warnings.warn(
+            "natural-gradient steps on a q_diag=True SVGP are unstable when "
+            "(num_data/batch_size) * prior_variance/noise_variance is large "
+            "(the mean-field natural step ignores the posterior's off-"
+            "diagonal coupling and can diverge at any step size); build the "
+            "model with q_diag=False for natgrad training",
+            stacklevel=3)
 
 
 def _natgrad_update(m, loss_fn, gamma, args):
@@ -145,6 +179,7 @@ def fit_natgrad_adam(model, loss_fn: Callable, steps: int = 200,
     Adam steps on every other trainable. ``loss_fn(model)`` (full-batch) or
     ``loss_fn(model, *batch_fn(i))`` (minibatch). ``gamma=1`` with a Gaussian
     likelihood makes each variational step exact."""
+    warn_if_q_diag(model)
     vec0, unflatten = flatten_trainable(model)
     opt = optax.adam(hyper_lr)
     step = jax.jit(natgrad_adam_step(opt, unflatten, loss_fn, gamma))
@@ -180,6 +215,7 @@ def fit_natgrad_scan(model, loss_fn: Callable, steps: int = 200,
     whole carry and a resumed run replays the identical trajectory."""
     from .fit import scan_checkpoint_driver
 
+    warn_if_q_diag(model)
     vec0, unflatten = flatten_trainable(model)
     opt = optax.adam(hyper_lr)
     step = natgrad_adam_step(opt, unflatten, loss_fn, gamma)

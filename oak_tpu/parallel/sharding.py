@@ -92,8 +92,9 @@ def data_parallel_natgrad_step(model, mesh: Mesh, gamma: float = 0.2,
     over the mesh's data axis and all parameters replicated — the same
     sharding contract as data_parallel_elbo_step. The update math is
     ``optim.natgrad.natgrad_adam_step`` — the single shared definition."""
-    from ..optim.natgrad import natgrad_adam_step
+    from ..optim.natgrad import natgrad_adam_step, warn_if_q_diag
 
+    warn_if_q_diag(model)
     vec0, unflatten = flatten_trainable(model)
     opt = optax.adam(hyper_lr)
 

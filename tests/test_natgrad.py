@@ -221,3 +221,122 @@ def test_natgrad_scan_steps_zero(rng):
     Xj, Yj = jnp.asarray(X), jnp.asarray(y)
     res = fit_natgrad_scan(svgp, lambda m: m.training_loss(Xj, Yj), steps=0)
     assert res.num_iters == 0 and not res.success  # inf loss, nothing ran
+
+
+# --------------------------------------------------------------------------- #
+# mean-field (q_diag) natgrad instability at scale — the reason oak_model and
+# bench build FULL-covariance q for natgrad (optim/natgrad.py STABILITY note)
+# --------------------------------------------------------------------------- #
+def _stressed(rng, q_diag, num_data=1_000_000, n=1024, d=16, m=128):
+    """Small arrays, large num_data: training_loss scales the data term by
+    num_data/batch, reproducing the large-N minibatch regime cheaply.
+    Everything is f32 — the mean-field divergence is an f32 round-off
+    catastrophe (theta1 = m/S with a crushed S); in f64 the same iteration
+    merely converges slowly, so f32 here IS the TPU-relevant regime."""
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    w = rng.normal(size=d) / np.sqrt(d)
+    y = (np.tanh(X @ w) + 0.5 * X[:, 0] * X[:, 1]
+         + 0.1 * rng.normal(size=n)).reshape(-1, 1).astype(np.float32)
+    k = OAKKernel.create(num_dims=d, max_interaction_depth=3,
+                         use_sparsity_prior=True, dtype=jnp.float32)
+    svgp = SVGP.create(k, Gaussian.create(0.01, dtype=jnp.float32),
+                       jnp.asarray(X[:m], jnp.float32), q_diag=q_diag,
+                       whiten=True, num_data=num_data, dtype=jnp.float32)
+    return svgp, jnp.asarray(X), jnp.asarray(y)
+
+
+def _minibatch_natgrad_losses(svgp, Xj, Yj, steps=10, batch=512, gamma=0.1):
+    import jax
+
+    from oak_tpu.optim.natgrad import natgrad_adam_step
+    from oak_tpu.params import flatten_trainable
+    import optax
+
+    vec, unflatten = flatten_trainable(svgp)
+    opt = optax.adam(1e-2)
+
+    def loss_fn(m, ib):
+        return m.training_loss(Xj[ib], Yj[ib])
+
+    step = jax.jit(natgrad_adam_step(opt, unflatten, loss_fn, gamma))
+    st = opt.init(vec)
+    r = np.random.default_rng(0)
+    losses = []
+    for _ in range(steps):
+        ib = jnp.asarray(r.integers(0, Xj.shape[0], batch))
+        vec, st, loss = step(vec, st, ib)
+        losses.append(float(loss))
+    return np.asarray(losses)
+
+
+def test_full_q_natgrad_stable_at_scale(rng):
+    """The full-covariance natgrad minibatch iteration must stay finite and
+    make clear progress in the inflated-num_data regime where the mean-field
+    update diverges (measured on the N=10^6 bench config)."""
+    svgp, Xj, Yj = _stressed(rng, q_diag=False)
+    L = _minibatch_natgrad_losses(svgp, Xj, Yj)
+    assert np.isfinite(L).all(), L
+    assert L[-3:].mean() < 0.9 * L[:3].mean(), L  # descending, not surviving
+
+
+def test_diag_q_natgrad_diverges_at_scale(rng):
+    """Pin the documented hazard: the SAME config with a mean-field q blows
+    up (this is why natgrad entry points warn on q_diag and why
+    oak_model(optimizer='natgrad') builds q_diag=False). In pure f32 the
+    blow-up is terminal (loss -> inf); under the suite's x64 mode the spike
+    still exceeds 50x the starting loss before the overshoot-rejection
+    guards claw it back — either way the iteration is unusable while the
+    full-q one descends smoothly. If this test ever fails because the diag
+    iteration converges, the guards can be relaxed."""
+    svgp, Xj, Yj = _stressed(rng, q_diag=True)
+    L = _minibatch_natgrad_losses(svgp, Xj, Yj)
+    assert (not np.isfinite(L).all()) or L.max() > 50.0 * L[0], L
+
+
+def test_natgrad_warns_on_q_diag(rng):
+    from oak_tpu.optim import fit_natgrad_adam
+
+    k, X, y, Z = _setup(rng, n=20)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+    svgp = SVGP.create(k, Gaussian.create(0.05), Z, q_diag=True, whiten=True,
+                       num_data=X.shape[0])
+    with pytest.warns(UserWarning, match="q_diag"):
+        fit_natgrad_adam(svgp, lambda m: m.training_loss(Xj, Yj), steps=1)
+
+
+def test_oak_model_natgrad_builds_full_q(rng):
+    from oak_tpu.model import oak_model
+
+    X = rng.normal(size=(32, 2))
+    y = (X[:, 0] > 0).astype(float).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2, likelihood="bernoulli",
+                    optimizer="natgrad")
+    oak.fit(X, y, optimise=False)
+    assert oak.m.q_diag is False
+    # the default (non-natgrad) construction keeps the mean-field q
+    oak2 = oak_model(max_interaction_depth=2, likelihood="bernoulli")
+    oak2.fit(X, y, optimise=False)
+    assert oak2.m.q_diag is True
+
+
+def test_full_q_model_checkpoint_roundtrip(rng, tmp_path):
+    """A natgrad-constructed (q_diag=False) model must save/load through the
+    wrapper checkpoint: the loader's SVGP template is built from the saved
+    q_diag/whiten config, so the full [R, M, M] q_sqrt round-trips."""
+    from oak_tpu import load_oak_model
+    from oak_tpu.model import oak_model
+
+    X = rng.normal(size=(48, 2))
+    y = (X[:, 0] + 0.3 * rng.normal(size=48) > 0).astype(float).reshape(-1, 1)
+    oak = oak_model(max_interaction_depth=2, likelihood="bernoulli",
+                    optimizer="natgrad")
+    oak.fit(X, y, optimise=False)
+    assert oak.m.q_diag is False
+    oak.optimise(max_iters=5)
+    ck = tmp_path / "full_q.npz"
+    oak.save(ck)
+    oak2 = load_oak_model(ck)
+    assert oak2.m.q_diag is False
+    assert oak2.m.q_sqrt.value.ndim == 3  # [R, M, M], not diag [M, R]
+    np.testing.assert_allclose(oak2.predict_proba(X), oak.predict_proba(X),
+                               rtol=1e-6, atol=1e-8)

@@ -85,10 +85,10 @@ def stackable_groups(kernels) -> List[List[int]]:
     """Group kernel indices whose pytrees stack (same type, same treedef after
     normalizing the static active_dim, same leaf shapes) — each group can run
     per-dim computations as ONE vmapped call instead of a Python loop of
-    launches. At D=32 a loop of tiny per-dim ops costs real wall-clock even
-    INSIDE one jitted program: each op is its own fusion, and ~100 [N]-sized
-    kernel launches put a measured 0.7 ms floor under K_diag at N=8192
-    (BASELINE.md round-2 step breakdown)."""
+    launches. Pays off when the consumer keeps the batched layout (Sobol's
+    per-dim L matmuls, K_diag's group-axis power-sum reductions); slicing
+    the batch back out per dim costs more than the loop (measured 6x slower
+    for K_diag at D=32, N=8192 on TPU)."""
     import jax as _jax
 
     groups: List[List[int]] = []
@@ -303,10 +303,35 @@ class OAKKernel:
         from ..utils.diagnostics import check_matrix_input
 
         check_matrix_input(X, self._max_active_dim(), "X")
-        # batched per stackable group: one vmapped [G, N] computation per
-        # group instead of D separate tiny fusions (0.7 ms -> ~0.05 ms at
-        # D=32, N=8192 — K_diag runs inside every ELBO step)
-        return per_dim_batched(self.kernels, X, kernel_K_diag)
+        return [kernel_K_diag(k, X[:, k.active_dim]) for k in self.kernels]
+
+    def _diag_power_sums(self, X: jnp.ndarray, depth: int) -> List[jnp.ndarray]:
+        """Power sums s_p = sum_i k_i_diag**p, p=1..depth, via stacked groups.
+
+        Power sums are order-free, so each stackable group contributes
+        ``(vals**p).sum(0)`` of its vmapped [G, N] diag buffer directly —
+        no per-dim slicing back out (a stack→vmap→unstack round-trip was
+        measured 6x SLOWER than the plain loop on TPU; reducing over the
+        group axis instead is what makes batching pay)."""
+        import jax as _jax
+
+        s = [None] * depth
+        for idx in stackable_groups(self.kernels):
+            if len(idx) == 1:
+                k = self.kernels[idx[0]]
+                vals = kernel_K_diag(k, X[:, k.active_dim])[None]
+            else:
+                cols = jnp.stack([X[:, self.kernels[i].active_dim]
+                                  for i in idx])
+                vals = _jax.vmap(kernel_K_diag)(
+                    stack_group(self.kernels, idx), cols)
+            vp = vals
+            for p in range(depth):
+                contrib = jnp.sum(vp, axis=0)
+                s[p] = contrib if s[p] is None else s[p] + contrib
+                if p + 1 < depth:
+                    vp = vp * vals
+        return s
 
     def _combine(self, terms: List[jnp.ndarray]) -> jnp.ndarray:
         if self.share_var_across_orders:
@@ -334,7 +359,13 @@ class OAKKernel:
         return self._combine(e)
 
     def K_diag(self, X: jnp.ndarray) -> jnp.ndarray:
-        e = newton_girard(self.dim_diags(X), self.max_interaction_depth)
+        from ..ops.newton_girard import newton_girard_from_power_sums
+        from ..utils.diagnostics import check_matrix_input
+
+        check_matrix_input(X, self._max_active_dim(), "X")
+        e = newton_girard_from_power_sums(
+            self._diag_power_sums(X, self.max_interaction_depth),
+            self.max_interaction_depth)
         return self._combine(e)
 
     # ------------------------------------------------------------------ #

@@ -42,13 +42,15 @@ def power_sums(grams: Sequence[jnp.ndarray], depth: int) -> List[jnp.ndarray]:
     return s
 
 
-def newton_girard(grams: Sequence[jnp.ndarray], depth: int) -> List[jnp.ndarray]:
-    """[e_0, ..., e_depth], each shaped like grams[0]."""
-    grams = list(grams)
-    if not grams:
-        raise ValueError("need at least one gram")
-    s = power_sums(grams, depth)
-    ones = jnp.ones_like(grams[0])
+def newton_girard_from_power_sums(s: Sequence[jnp.ndarray],
+                                  depth: int) -> List[jnp.ndarray]:
+    """[e_0, ..., e_depth] from precomputed power sums s_1..s_depth.
+
+    Split out of ``newton_girard`` so callers that can produce the power
+    sums more efficiently than a per-dimension Python loop (e.g. a stacked
+    [D, N] buffer reduced with ``(stack**p).sum(0)`` — see
+    ``OAKKernel.K_diag``) reuse the identical e-recursion."""
+    ones = jnp.ones_like(s[0])
     e = [ones]
     for n in range(1, depth + 1):
         acc = None
@@ -58,6 +60,14 @@ def newton_girard(grams: Sequence[jnp.ndarray], depth: int) -> List[jnp.ndarray]
             acc = term if acc is None else acc + term
         e.append(acc / n)
     return e
+
+
+def newton_girard(grams: Sequence[jnp.ndarray], depth: int) -> List[jnp.ndarray]:
+    """[e_0, ..., e_depth], each shaped like grams[0]."""
+    grams = list(grams)
+    if not grams:
+        raise ValueError("need at least one gram")
+    return newton_girard_from_power_sums(power_sums(grams, depth), depth)
 
 
 def newton_girard_stacked(stack: jnp.ndarray, depth: int) -> jnp.ndarray:

@@ -74,6 +74,39 @@ class FitConfig:
         return oak
 
 
+def artifact_provenance(path) -> dict:
+    """Machine-readable provenance of a per-fold metrics artifact
+    (``out_<fold>.npz``).
+
+    Both this repo's UCI scripts and the reference's
+    (uci_regression_train.py:183-190 / uci_classification_train.py:214-220)
+    write per-fold npz metric files with shared field names. Ours
+    additionally stamp ``synthetic`` (bool) and ``data_generator_seed`` so a
+    consumer diffing artifacts cross-repo can detect synthetic stand-in data
+    without reading prose docs. Reference-written files carry neither field:
+    they are reported as ``{"synthetic": None, "source": "reference-layout"}``
+    — unknown provenance, NOT assumed real.
+    """
+    import numpy as np
+
+    with np.load(Path(path), allow_pickle=True) as d:
+        if "synthetic" in d.files:
+            seed = (int(d["data_generator_seed"])
+                    if "data_generator_seed" in d.files else None)
+            return {
+                "synthetic": bool(d["synthetic"]),
+                "generator_seed": (None if seed in (None, -1) else seed),
+                "source": "oak_tpu",
+                "fields": sorted(d.files),
+            }
+        return {
+            "synthetic": None,
+            "generator_seed": None,
+            "source": "reference-layout",
+            "fields": sorted(d.files),
+        }
+
+
 @dataclasses.dataclass
 class ExperimentConfig:
     """Script-level experiment description (dataset, CV, outputs)."""

@@ -70,8 +70,10 @@ def run_bench(args):
     # the product training loop is device-resident (optim.fit_adam_scan /
     # optimise_minibatch): the whole run is ONE lax.scan dispatch, so the
     # benchmark times pure device throughput, not per-step host round-trips
-    @jax.jit
-    def train(vec):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames="steps")
+    def train(vec, steps):
         def one(carry, _):
             v, opt_state = carry
             loss, g = jax.value_and_grad(
@@ -80,7 +82,7 @@ def run_bench(args):
             return (optax.apply_updates(v, updates), opt_state), loss
 
         (vec, _), losses = jax.lax.scan(one, (vec, opt.init(vec)), None,
-                                        length=args.steps)
+                                        length=steps)
         return vec, losses[-1]
 
     if args.sobol_only:
@@ -90,18 +92,29 @@ def run_bench(args):
         # timer boundaries use device_get, NOT block_until_ready: through the
         # axon socket relay block_until_ready returns before the device has
         # drained (measured: block 0.48 s vs true 2.9 s on a 500-matmul scan)
-        # and silently under-reports; a value fetch is the only true sync
-        vec, loss = train(vec0)  # warmup/compile
+        # and silently under-reports; a value fetch is the only true sync.
+        # Per-step time is the SLOPE between a short and a 3x-long run
+        # (best-of-2 each): the relay's ~30 ms fetch RTT is a constant,
+        # so subtracting the two cancels it instead of amortizing it into
+        # the step time (round-3 numbers carried that +RTT/steps bias).
+        s1, s2 = args.steps, 3 * args.steps
+        vec, loss = train(vec0, s1)  # warmup/compile
         jax.device_get(loss)
+        vec_l, loss_l = train(vec0, s2)
+        jax.device_get(loss_l)
 
-        # best-of-2: the relay adds a jittery ~30 ms fetch RTT per timed run
-        dt = float("inf")
+        t_short = t_long = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            vec, loss = train(vec0)
+            vec, loss = train(vec0, s1)
             jax.device_get(loss)
-            dt = min(dt, time.perf_counter() - t0)
-        steps_per_sec = args.steps / dt
+            t_short = min(t_short, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            vec_l, loss_l = train(vec0, s2)
+            jax.device_get(loss_l)
+            t_long = min(t_long, time.perf_counter() - t0)
+        steps_per_sec = (s2 - s1) / max(t_long - t_short, 1e-9)
+        vec, loss = vec_l, loss_l  # report the longer run's fit
         trained = unflatten(vec)
 
     # FULL-depth Sobol: every component up to the model's interaction depth
@@ -200,24 +213,37 @@ def run_profile(args):
     Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
     Zj = jnp.asarray(model.Z.value)
     vec0, unflatten = flatten_trainable(model)
-    R = 30
+    def scan_time(body, r1=10, r2=60):
+        """body: vec -> scalar. Per-iteration ms as the SLOPE between a
+        short and a long chained scan (best-of-3 each): the relay's ~30 ms
+        result-fetch RTT is constant per run, so differencing the two
+        cancels it — a single-length timing amortizes it into every rep
+        (+0.6 ms/rep at R=50; the round-3 numbers carried that bias)."""
 
-    def scan_time(body):
-        """body: vec -> scalar. Times R chained evaluations on-device."""
+        def make(R):
+            @jax.jit
+            def run(vec):
+                def one(c, _):
+                    val = body(vec * (1.0 + c * 1e-24))
+                    return c + val * 1e-24, None
 
-        @jax.jit
-        def run(vec):
-            def one(c, _):
-                val = body(vec * (1.0 + c * 1e-24))
-                return c + val * 1e-24, None
+                out, _ = jax.lax.scan(one, jnp.zeros((), vec.dtype), None,
+                                      length=R)
+                return out
+            return run
 
-            out, _ = jax.lax.scan(one, jnp.zeros((), vec.dtype), None, length=R)
-            return out
-
-        jax.device_get(run(vec0))
-        t0 = time.perf_counter()
-        jax.device_get(run(vec0))
-        return round((time.perf_counter() - t0) / R * 1000, 3)
+        f1, f2 = make(r1), make(r2)
+        jax.device_get(f1(vec0))
+        jax.device_get(f2(vec0))
+        b1 = b2 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(f1(vec0))
+            b1 = min(b1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            jax.device_get(f2(vec0))
+            b2 = min(b2, time.perf_counter() - t0)
+        return round((b2 - b1) / (r2 - r1) * 1000, 3)
 
     out = {
         "metric": "elbo_step_profile_ms",
@@ -313,13 +339,23 @@ def run_large_scale(args):
 
     vec, loss = run(vec0, make_idx(1))  # warmup/compile
     jax.device_get(loss)
-    dt = float("inf")
+    # per-step time via short/long slope (cancels the relay's constant
+    # ~30 ms fetch RTT instead of amortizing it over the steps)
+    idx_long = jnp.concatenate([make_idx(2), make_idx(3), make_idx(4)])
+    vec_l, loss_l = run(vec0, idx_long)
+    jax.device_get(loss_l)
+    t_short = t_long = float("inf")
     for rep in range(2):
-        idx = make_idx(2 + rep)
         t0 = time.perf_counter()
-        vec, loss = run(vec, idx)  # data dep on vec chains reps
+        vec, loss = run(vec0, make_idx(2))
         jax.device_get(loss)
-        dt = min(dt, time.perf_counter() - t0)
+        t_short = min(t_short, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        vec_l, loss_l = run(vec0, idx_long)
+        jax.device_get(loss_l)
+        t_long = min(t_long, time.perf_counter() - t0)
+    dt = max(t_long - t_short, 1e-9) / 2  # time of T steps, RTT-free
+    vec, loss = vec_l, loss_l
 
     mem = {}
     try:
@@ -337,6 +373,103 @@ def run_large_scale(args):
         "final_elbo_loss": float(jax.device_get(loss)),
         "backend": jax.default_backend(), **mem,
     }))
+
+
+def run_roofline(args):
+    """VPU ceilings vs achieved gram throughput — the measurement behind the
+    Pallas-retirement roofline in BASELINE.md. Methodology: probe bodies are
+    unrolled chains of DEPENDENT elementwise ops (op cost dominates the
+    carry's memory round-trip), per-iteration cost is the slope between a
+    10- and a 60-iteration scan (cancels the relay fetch RTT), inputs are
+    real jit arguments (a closed-over constant lets XLA fold the whole scan
+    at compile time — measured as impossible negative slopes)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from oak_tpu.ops import oak_gram_pallas as ogp
+    from oak_tpu.params import flatten_trainable
+
+    N, M, D = args.n, args.m, args.d
+    x0 = jnp.full((N, M), 0.5, jnp.float32)
+
+    def slope(make_run, arg, r1=10, r2=60, reps=4):
+        f1, f2 = make_run(r1), make_run(r2)
+        jax.device_get(f1(arg))
+        jax.device_get(f2(arg))
+        b1 = b2 = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(f1(arg))
+            b1 = min(b1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            jax.device_get(f2(arg))
+            b2 = min(b2, time.perf_counter() - t0)
+        return (b2 - b1) / (r2 - r1)
+
+    def chain_probe(U, op):
+        def make(R):
+            @jax.jit
+            def run(x):
+                def one(c, _):
+                    for _ in range(U):
+                        c = op(c)
+                    return c, None
+                out, _ = jax.lax.scan(one, x, None, length=R)
+                return out.sum()
+            return run
+        # chain iterations are ~0.05-0.1 ms — stretch the slope so the
+        # length difference (>20 ms) dominates the relay's few-ms RTT jitter
+        return slope(make, x0, r1=50, r2=500, reps=6)
+
+    out = {"metric": "vpu_roofline", "backend": jax.default_backend(),
+           "config": f"N={N} D={D} M={M} depth={args.depth}"}
+    t = chain_probe(8, lambda c: jnp.exp(-c))
+    out["ceiling_G_exp_per_s"] = round(N * M * 8 / t / 1e9, 1)
+    t = chain_probe(64, lambda c: c * 0.999999 + 1e-9)
+    out["ceiling_G_fma_flop_per_s"] = round(N * M * 64 * 2 / t / 1e9, 1)
+
+    model, X, Y = _build_model(args)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    Zj = jnp.asarray(model.Z.value)
+    vec0, unflatten = flatten_trainable(model)
+    opt = optax.adam(1e-2)
+    st0 = opt.init(vec0)
+
+    def body_time(body):
+        def make(R):
+            @jax.jit
+            def run(vec):
+                def one(c, _):
+                    val = body(vec * (1.0 + c * 1e-24))
+                    return c + val * 1e-24, None
+                out, _ = jax.lax.scan(one, jnp.zeros((), vec0.dtype), None,
+                                      length=R)
+                return out
+            return run
+        return slope(make, vec0)
+
+    def full_step(v):
+        l, g = jax.value_and_grad(
+            lambda u: unflatten(u).training_loss(Xj, Yj))(v)
+        up, _ = opt.update(g, st0)
+        return l + jnp.sum(optax.apply_updates(v, up))
+
+    exps = N * M * D
+    for pol in ("recompute", "bf16", "f32"):
+        ogp.RESIDUAL = pol
+        tf_ = body_time(
+            lambda v: jnp.sum(ogp.oak_gram(unflatten(v).kernel, Xj, Zj)))
+        tb = body_time(
+            lambda v: jnp.sum(jax.grad(
+                lambda u: ogp.oak_gram(unflatten(u).kernel, Xj, Zj).sum())(v)))
+        out[f"gram_fwd_ms_{pol}"] = round(tf_ * 1e3, 3)
+        out[f"gram_fwdbwd_ms_{pol}"] = round(tb * 1e3, 3)
+        if pol == "recompute":
+            out["achieved_G_exp_per_s"] = round(exps / tf_ / 1e9, 1)
+            out["full_step_ms"] = round(body_time(full_step) * 1e3, 3)
+    ogp.RESIDUAL = "recompute"
+    print(json.dumps(out))
 
 
 def run_sobol_naive(args):
@@ -519,6 +652,9 @@ def main():
                          "loop (the GPflow-CPU stand-in baseline)")
     ap.add_argument("--profile", action="store_true",
                     help="phase breakdown of the ELBO step (JSON line)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="VPU ceiling probes vs achieved gram throughput "
+                         "(the Pallas-retirement measurement)")
     ap.add_argument("--verify", action="store_true",
                     help="run the on-hardware parity gates instead of timing")
     ap.add_argument("--verify-leg", choices=["cpu64", "tpu32"], default=None,
@@ -549,6 +685,9 @@ def main():
         return
     if args.profile:
         run_profile(args)
+        return
+    if args.roofline:
+        run_roofline(args)
         return
     if args.large_scale:
         run_large_scale(args)

@@ -16,10 +16,20 @@ Inputs are *prescaled* so the kernel body has no per-dim divisions:
     u = x / l                 (so the exponent is -0.5 (u - u')^2)
     c~ = cov(x) / sqrt(var_s) (so the downdate is c~ c~')
 
-Differentiation: gradients flow through a custom VJP whose backward pass is
-the jax.vjp of the straight-XLA reference implementation (recompute) — the
-Pallas kernel accelerates every forward evaluation (inference, predictions,
-Sobol, and the forward half of training).
+Differentiation: gradients flow through a custom VJP whose residual policy
+is selectable (see RESIDUAL below); the default saves only the prescaled
+inputs and recomputes the per-dim grams in the backward.
+
+STATUS (settled round 4 with RTT-free measurements; `bench.py --roofline`):
+the XLA-generated forward under the recompute custom VJP is the production
+path. It runs at the VPU's serialized op-count floor — 0.40-0.46 ms vs a
+~0.43 ms floor from the measured ceilings (exp ~1.25 T/s -> 0.11 ms for the
+134M exps, plus ~10 ALU ops/element at ~4.2 TFLOP/s -> 0.32 ms; the op is
+ALU-bound around its exps, not transcendental-bound). Neither the
+handwritten Pallas kernels below nor residual storage can materially beat
+it — both were built, tested, and measured slower (Pallas fwd +0.7 ms vs
+XLA; stored-gram backwards +0.9/+2.5 ms vs recompute). They are retained as
+regression insurance and as the measured record.
 """
 
 from __future__ import annotations
@@ -364,6 +374,105 @@ def _xla_gram_from_prep(u1, u2, c1, c2, extra, bvar, sig2, depth: int) -> jnp.nd
     return out
 
 
+def _xla_gram_and_gs(u1, u2, c1, c2, extra, bvar, sig2, depth: int,
+                     res_dtype=jnp.float32):
+    """Forward that also returns the stacked per-dim grams [D+E, N, M]
+    (RBF dims first, then the extra/discrete grams) — the residual for the
+    store-grams backward below. Each gram is cast to ``res_dtype`` BEFORE
+    stacking so the downcast fuses into the per-dim producer (stacking f32
+    then converting would write the full f32 stack to HBM first — an extra
+    512 MB of traffic at the headline shape)."""
+    grams = []
+    for d in range(u1.shape[0]):
+        du = u1[d, :, None] - u2[d, None, :]
+        grams.append(bvar[0, d] * jnp.exp(-0.5 * du * du)
+                     - c1[d, :, None] * c2[d, None, :])
+    for e_ in range(extra.shape[0]):
+        grams.append(extra[e_])
+    e = newton_girard(grams, depth)
+    out = sig2[0, 0] * e[0]
+    for n in range(1, depth + 1):
+        out = out + sig2[0, n] * e[n]
+    return out, jnp.stack([g.astype(res_dtype) for g in grams])
+
+
+def _res_bwd(depth, res, gbar):
+    """Algebraic backward from STORED per-dim grams — no second exp sweep.
+
+    Per-dim cotangents use the elementary-symmetric downdate recursion
+    h_k^{(-d)} = e_k - g_d h_{k-1}^{(-d)}, dOut/dg_d = sum_n sig_n h_{n-1};
+    the exp factor is recovered as bE = g + c1 c2 (never recomputed).
+    Covers extra (binary/categorical) dims too: their cotangent is just
+    gbar * W. Written as a per-dim Python loop (not a stacked [D,N,M]
+    tensor program) so XLA fuses each dim's T into its own reductions
+    instead of materializing a 512 MB T stack.
+
+    MEASURED OUTCOME (see the RESIDUAL selector note below): this path is
+    correct and covers all dim types, but on v5e it LOSES to the recompute
+    backward — the stored stack's HBM round-trips exceed the exp re-sweep
+    cost it avoids. Kept as the measured record; not the default."""
+    u1, u2, c1, c2, extra, bvar, sig2, gs_lo = res
+    P = depth
+    D = u1.shape[0]
+    E = extra.shape[0]
+    gs = [gs_lo[i].astype(jnp.float32) for i in range(D + E)]
+
+    e = newton_girard(gs, P)
+    ones = e[0]
+    ds2 = jnp.stack([jnp.sum(gbar * e[n]) for n in range(P + 1)])[None, :]
+
+    def dim_W(g):
+        h = ones
+        W = sig2[0, 1] * ones
+        for k in range(1, P):
+            h = e[k] - g * h
+            W = W + sig2[0, k + 1] * h
+        return gbar * W
+
+    du1_rows, du2_rows, dc1_rows, dc2_rows, db_vals = [], [], [], [], []
+    for d in range(D):
+        g = gs[d]
+        T = dim_W(g)
+        du = u1[d, :, None] - u2[d, None, :]
+        bE = g + c1[d, :, None] * c2[d, None, :]
+        TbE = T * bE
+        du1_rows.append(-(TbE * du).sum(1))
+        du2_rows.append((TbE * du).sum(0))
+        dc1_rows.append(-(T * c2[d, None, :]).sum(1))
+        dc2_rows.append(-(T * c1[d, :, None]).sum(0))
+        db_vals.append(TbE.sum() / bvar[0, d])
+    if E:
+        dextra = jnp.stack([dim_W(gs[D + j]) for j in range(E)])
+    else:
+        dextra = jnp.zeros_like(extra)
+
+    return (jnp.stack(du1_rows), jnp.stack(du2_rows),
+            jnp.stack(dc1_rows), jnp.stack(dc2_rows), dextra,
+            jnp.stack(db_vals)[None, :], ds2)
+
+
+def _make_res_op(res_dtype):
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+    def op(u1, u2, c1, c2, extra, bvar, sig2, depth):
+        return _xla_gram_from_prep(u1, u2, c1, c2, extra, bvar, sig2, depth)
+
+    def fwd(u1, u2, c1, c2, extra, bvar, sig2, depth):
+        out, gs = _xla_gram_and_gs(u1, u2, c1, c2, extra, bvar, sig2, depth,
+                                   res_dtype)
+        # the barrier stops XLA's algebraic simplifier from eliding the
+        # f32->bf16->f32 convert round-trip across the fwd/bwd boundary
+        # (measured: without it the bf16 residual is silently kept f32 —
+        # bit-identical gradients to the f32 policy)
+        gs_lo = jax.lax.optimization_barrier(gs)
+        return out, (u1, u2, c1, c2, extra, bvar, sig2, gs_lo)
+
+    def bwd(depth, res, g):
+        return _res_bwd(depth, res, g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _gram_op(u1, u2, c1, c2, extra, bvar, sig2, depth):
     return _pallas_gram(u1, u2, c1, c2, extra, bvar, sig2, depth)
@@ -389,8 +498,37 @@ def _gram_fwd(u1, u2, c1, c2, extra, bvar, sig2, depth):
 #
 # BACKWARD: "xla" (jax.vjp of the XLA reference, recompute) or "pallas"
 # (the handwritten two-pass kernel above): 4.52 vs 5.93 ms/step — "xla".
+#
+# RESIDUAL: what the custom VJP saves for the backward.
+#   "recompute" — only the prescaled inputs; the backward re-sweeps the exp.
+#   "bf16"      — additionally store the [D+E, N, M] gram stack in bfloat16;
+#                 the backward is the algebraic no-exp form below.
+#   "f32"       — same with an f32 stack.
+# MEASURED at the headline shape (N=8192, D=32, M=512, depth 3; RTT-free
+# slope timing, `bench.py --roofline`): gram fwd+bwd = 1.92 ms recompute vs
+# 2.86 ms bf16 vs 5.12 ms f32 — STORING LOSES on this chip: the stack's HBM
+# round-trips (written once, re-read by the e-pass and the per-dim cotangent
+# pass) cost more than the ~0.18 ms exp re-sweep they replace, and the bf16
+# variant additionally perturbs gradients by the gram quantization
+# (rel l2 ~5e-3). "recompute" is the default; the alternatives stay
+# implemented and tested as the measured record of why.
 FORWARD = "xla"
 BACKWARD = "xla"
+RESIDUAL = "recompute"
+
+_gram_op_xla_res_bf16 = None
+_gram_op_xla_res_f32 = None
+
+
+def _res_op(kind):
+    global _gram_op_xla_res_bf16, _gram_op_xla_res_f32
+    if kind == "bf16":
+        if _gram_op_xla_res_bf16 is None:
+            _gram_op_xla_res_bf16 = _make_res_op(jnp.bfloat16)
+        return _gram_op_xla_res_bf16
+    if _gram_op_xla_res_f32 is None:
+        _gram_op_xla_res_f32 = _make_res_op(jnp.float32)
+    return _gram_op_xla_res_f32
 
 
 def _gram_bwd(depth, res, g):
@@ -454,9 +592,10 @@ def oak_gram(oak, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarr
     u1, u2, c1, c2, extra, bvar, sig2 = _prep(oak, X, X2_)
 
     if FORWARD != "pallas":
-        return _gram_op_xla(u1, u2, c1, c2, extra, bvar[None, :],
-                            sig2[None, :],
-                            oak.max_interaction_depth).astype(X.dtype)
+        op = _gram_op_xla if RESIDUAL == "recompute" else _res_op(RESIDUAL)
+        return op(u1, u2, c1, c2, extra, bvar[None, :],
+                  sig2[None, :],
+                  oak.max_interaction_depth).astype(X.dtype)
 
     Np, Mp = _round_up(N, TILE_N), _round_up(M, TILE_M)
     u1 = jnp.pad(u1, ((0, 0), (0, Np - N)))

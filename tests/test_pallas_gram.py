@@ -188,6 +188,75 @@ def test_pallas_backward_weighted_cotangent(rng):
                                    rtol=5e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("residual", ["bf16", "f32"])
+def test_residual_backward_matches_recompute(rng, residual):
+    """RESIDUAL='bf16'/'f32' store the per-dim gram stack and run the
+    algebraic no-exp backward; gradients must match the recompute backward
+    (exactly for f32 residuals, to bf16 quantization otherwise)."""
+    oak, X, X2 = _setup(rng, N=64, M=40)
+    W = jnp.asarray(rng.normal(size=(64, 40)).astype(np.float32))
+
+    def loss(o):
+        return (ogp.oak_gram(o, X, X2) * W).sum()
+
+    g_ref = jax.grad(loss)(oak)
+    old = ogp.RESIDUAL
+    ogp.RESIDUAL = residual
+    try:
+        g_res = jax.grad(loss)(oak)
+    finally:
+        ogp.RESIDUAL = old
+    # f32 residuals: exact same values, but the algebraic backward uses the
+    # elementary-symmetric DOWNDATE recursion (h_k = e_k - g h_{k-1}) — a
+    # different summation order than jax.vjp's generated backward, so f32
+    # round-off differs (same tolerance as the Pallas backward tests above);
+    # bf16 residuals add the gram-quantization error on top.
+    tol = dict(rtol=5e-4, atol=1e-5) if residual == "f32" else \
+        dict(rtol=3e-2, atol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(g_res),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
+
+
+def test_residual_backward_mixed_types(rng):
+    """The stored-gram backward covers binary/categorical extra dims too
+    (their cotangent is gbar * W straight from the stored stack)."""
+    oak, X, X2 = _mixed_setup(rng, N=64, M=40, depth=2)
+
+    def loss(o):
+        return ogp.oak_gram(o, X, X2).sum()
+
+    g_ref = jax.grad(loss)(oak)
+    old = ogp.RESIDUAL
+    ogp.RESIDUAL = "f32"
+    try:
+        g_res = jax.grad(loss)(oak)
+    finally:
+        ogp.RESIDUAL = old
+    leaves = list(zip(jax.tree_util.tree_leaves(g_res),
+                      jax.tree_util.tree_leaves(g_ref)))
+    assert any(np.any(np.asarray(a) != 0) for a, _ in leaves)
+    for a, b in leaves:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_residual_forward_value_unchanged(rng):
+    """The residual policy is a backward-only change: forward values are
+    bit-identical across policies."""
+    oak, X, X2 = _setup(rng, N=48, M=32)
+    old = ogp.RESIDUAL
+    try:
+        ogp.RESIDUAL = "recompute"
+        k0 = np.asarray(ogp.oak_gram(oak, X, X2))
+        for pol in ("bf16", "f32"):
+            ogp.RESIDUAL = pol
+            np.testing.assert_array_equal(
+                np.asarray(ogp.oak_gram(oak, X, X2)), k0)
+    finally:
+        ogp.RESIDUAL = old
+
+
 def test_default_forward_custom_vjp_matches_autodiff(rng):
     """The default path (XLA forward under the recompute custom VJP) must
     produce the same values and gradients as plain autodiff of the XLA

@@ -12,9 +12,13 @@ sums in VMEM, runs the Newton-Girard recursion in-register, and writes the
 single output tile — HBM traffic is O(N*D + M*D + N*M) instead of
 O(P*N*M + D*N*M).
 
-Inputs are *prescaled* so the kernel body has no per-dim divisions:
-    u = x / l                 (so the exponent is -0.5 (u - u')^2)
-    c~ = cov(x) / sqrt(var_s) (so the downdate is c~ c~')
+Inputs are *prescaled* so the kernel body is three ALU ops + one exp per
+(element, dim) — the measured forward floor is ALU-bound, so every folded
+constant shows up in the step time:
+    u = x / (l sqrt(2))       (folds the -1/2: the exponent is -(u - u')^2)
+    logb = log(b)             (folds the base variance INTO the exponent:
+                               b exp(x) = exp(x + logb), one FMA + exp)
+    c~ = cov(x) / sqrt(var_s) (so the downdate is one more FMA: g = E - c~ c~')
 
 Differentiation: gradients flow through a custom VJP whose residual policy
 is selectable (see RESIDUAL below); the default saves only the prescaled
@@ -56,7 +60,7 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------------------- #
 # Kernel body
 # --------------------------------------------------------------------------- #
-def _gram_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, *rest,
+def _gram_kernel(sig_ref, logb_ref, u1_ref, u2_ref, c1_ref, c2_ref, *rest,
                  depth: int, num_dims: int, num_extra: int):
     """rest = (extra_ref, out_ref) when num_extra > 0 else (out_ref,).
     ``extra_ref`` carries precomputed [E, TN, TM] gram tiles for dims whose
@@ -79,7 +83,7 @@ def _gram_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, *rest,
 
     for d in range(num_dims):
         du = u1_ref[d, :][:, None] - u2_ref[d, :][None, :]
-        g = bvar_ref[0, d] * jnp.exp(-0.5 * du * du) \
+        g = jnp.exp(logb_ref[0, d] - du * du) \
             - c1_ref[d, :][:, None] * c2_ref[d, :][None, :]
         accumulate(g)
     for e in range(num_extra):
@@ -100,9 +104,9 @@ def _gram_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, *rest,
     out_ref[:] = acc
 
 
-def _pallas_gram(u1, u2, c1, c2, extra, bvar, sig2, depth: int) -> jnp.ndarray:
+def _pallas_gram(u1, u2, c1, c2, extra, logb, sig2, depth: int) -> jnp.ndarray:
     """u1/c1: [D, Np]; u2/c2: [D, Mp]; extra: [E, Np, Mp] precomputed grams
-    for non-RBF dims (E may be 0); bvar: [1, D]; sig2: [1, P+1].
+    for non-RBF dims (E may be 0); logb: [1, D]; sig2: [1, P+1].
     Np, Mp must be multiples of the tile sizes. Returns [Np, Mp] f32."""
     D, Np = u1.shape
     Mp = u2.shape[1]
@@ -124,7 +128,7 @@ def _pallas_gram(u1, u2, c1, c2, extra, bvar, sig2, depth: int) -> jnp.ndarray:
         pl.BlockSpec((D, TILE_M), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [sig2, bvar, u1, u2, c1, c2]
+    operands = [sig2, logb, u1, u2, c1, c2]
     if E:
         in_specs.append(pl.BlockSpec((E, TILE_N, TILE_M),
                                      lambda i, j: (0, i, j),
@@ -151,11 +155,11 @@ def _pallas_gram(u1, u2, c1, c2, extra, bvar, sig2, depth: int) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 # Backward kernel
 # --------------------------------------------------------------------------- #
-def _gram_bwd_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, gbar_ref,
+def _gram_bwd_kernel(sig_ref, logb_ref, u1_ref, u2_ref, c1_ref, c2_ref, gbar_ref,
                      du1_ref, dc1_ref, du2p_ref, dc2p_ref, dbp_ref, ds2p_ref,
                      *, depth: int, num_dims: int):
     """Per (i, j) tile: recompute the per-dim grams ONCE (kept live in VMEM —
-    pass 2 recovers E = (g + c1 c2)/b algebraically, no second exp sweep),
+    pass 2 recovers bE = g + c1 c2 algebraically, no second exp sweep),
     form the cotangents of every prescaled input via the elementary-symmetric
     downdate recursion h_k^{(-d)} = e_k - g_d h_{k-1}^{(-d)} (so dOut/dg_d =
     sum_n s2_n h_{n-1}), and accumulate: du1/dc1 in-place across the (fast)
@@ -179,7 +183,7 @@ def _gram_bwd_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, gbar_ref
     s = [None] * P
     for d in range(num_dims):
         du = u1_ref[d, :][:, None] - u2_ref[d, :][None, :]
-        g = bvar_ref[0, d] * jnp.exp(-0.5 * du * du) \
+        g = jnp.exp(logb_ref[0, d] - du * du) \
             - c1_ref[d, :][:, None] * c2_ref[d, :][None, :]
         gs.append(g)
         gp = g
@@ -221,12 +225,15 @@ def _gram_bwd_kernel(sig_ref, bvar_ref, u1_ref, u2_ref, c1_ref, c2_ref, gbar_ref
             W = W + sig_ref[0, k + 1] * h
         T = gbar * W
 
+        # d g/d u1 = bE * (-2 du): the exponent is -(u - u')^2 (the 1/2 is
+        # folded into the prescale), so the chain factor is 2du, not du
         TbE = T * bE
-        du1_ref[d, :] += jnp.sum(TbE * (-du), axis=1)
-        du2p_ref[0, d, :] = jnp.sum(TbE * du, axis=0)
+        du1_ref[d, :] += -2.0 * jnp.sum(TbE * du, axis=1)
+        du2p_ref[0, d, :] = 2.0 * jnp.sum(TbE * du, axis=0)
         dc1_ref[d, :] += -jnp.sum(T * c2d, axis=1)
         dc2p_ref[0, d, :] = -jnp.sum(T * c1d, axis=0)
-        db_vals.append(jnp.sum(T * bE) / bvar_ref[0, d])
+        # cotangent wrt logb (d g/d logb = bE) — no division
+        db_vals.append(jnp.sum(T * bE))
     dbp_ref[0, 0, :] += jnp.stack(db_vals)
 
 
@@ -236,7 +243,7 @@ BWD_TILE_N = 128
 BWD_TILE_M = 128
 
 
-def _pallas_gram_bwd(u1, u2, c1, c2, bvar, sig2, gbar, depth: int):
+def _pallas_gram_bwd(u1, u2, c1, c2, logb, sig2, gbar, depth: int):
     D, Np = u1.shape
     Mp = u2.shape[1]
     TILE_N, TILE_M = BWD_TILE_N, BWD_TILE_M  # noqa: N806 (shadow fwd tiles)
@@ -286,7 +293,7 @@ def _pallas_gram_bwd(u1, u2, c1, c2, bvar, sig2, gbar, depth: int):
                              memory_space=pltpu.VMEM),
             ),
         ),
-    )(sig2, bvar, u1, u2, c1, c2, gbar)
+    )(sig2, logb, u1, u2, c1, c2, gbar)
     du2 = jnp.sum(du2p, axis=0)
     dc2 = jnp.sum(dc2p, axis=0)
     db = jnp.sum(dbp, axis=(0, 1))[None, :]
@@ -301,50 +308,49 @@ def _prep(oak, X, X2):
     """Prescaled kernel inputs from an OAKKernel.
 
     Every RBF-form dim (OrthogonalRBF against ANY measure, or the
-    unconstrained plain RBF) reduces to the same kernel-body shape
-    g = b exp(-0.5 (u - u')^2) - c c' — the measure only changes the
-    prescaled downdate vector c = cov_X_s(x)/sqrt(var_s), computed here in
-    XLA with the per-measure closed forms (ortho_rbf.cov_x_s/var_s;
-    reference ortho_rbf_kernel.py:47-152). The unconstrained variant is
-    c = 0. Non-RBF dims (binary/categorical table lookups) are evaluated in
-    XLA and returned as ``extras`` [E, N, M] gram slices streamed into the
-    fused kernel's power-sum accumulation.
+    unconstrained plain RBF) reduces to the same three-op kernel-body shape
+    g = exp(logb - (u - u')^2) - c c' (see the module docstring's folding) —
+    the measure only changes the prescaled downdate vector
+    c = cov_X_s(x)/sqrt(var_s), computed here in XLA with the per-measure
+    closed forms (ortho_rbf.cov_x_s/var_s; reference
+    ortho_rbf_kernel.py:47-152). The unconstrained variant is c = 0. Non-RBF
+    dims (binary/categorical table lookups) are evaluated in XLA and
+    returned as ``extras`` [E, N, M] gram slices streamed into the fused
+    kernel's power-sum accumulation.
     """
     from ..kernels import ortho_rbf
     from ..kernels.oak_kernel import UnconstrainedRBF, kernel_K
     from ..kernels.ortho_rbf import OrthogonalRBF
 
     dtype = jnp.float32
-    us1, us2, cs1, cs2, bvars, extras = [], [], [], [], [], []
+    sqrt2 = 1.4142135623730951  # python float: weak-typed, keeps f32
+    us1, us2, cs1, cs2, logbs, extras = [], [], [], [], [], []
     for k in oak.kernels:
         col1 = X[:, k.active_dim].astype(dtype)
         col2 = X2[:, k.active_dim].astype(dtype)
-        if isinstance(k, OrthogonalRBF):
-            l = k.lengthscale.value.astype(dtype)
-            rs = jax.lax.rsqrt(ortho_rbf.var_s(k).astype(dtype))
-            us1.append(col1 / l)
-            us2.append(col2 / l)
-            cs1.append(ortho_rbf.cov_x_s(k, col1).astype(dtype) * rs)
-            cs2.append(ortho_rbf.cov_x_s(k, col2).astype(dtype) * rs)
-            bvars.append(k.variance.value.reshape(()).astype(dtype))
-        elif isinstance(k, UnconstrainedRBF):
-            l = k.lengthscale.value.astype(dtype)
-            us1.append(col1 / l)
-            us2.append(col2 / l)
-            cs1.append(jnp.zeros_like(col1))
-            cs2.append(jnp.zeros_like(col2))
-            bvars.append(k.variance.value.reshape(()).astype(dtype))
+        if isinstance(k, (OrthogonalRBF, UnconstrainedRBF)):
+            ls2 = k.lengthscale.value.astype(dtype) * sqrt2
+            us1.append(col1 / ls2)
+            us2.append(col2 / ls2)
+            if isinstance(k, OrthogonalRBF):
+                rs = jax.lax.rsqrt(ortho_rbf.var_s(k).astype(dtype))
+                cs1.append(ortho_rbf.cov_x_s(k, col1).astype(dtype) * rs)
+                cs2.append(ortho_rbf.cov_x_s(k, col2).astype(dtype) * rs)
+            else:
+                cs1.append(jnp.zeros_like(col1))
+                cs2.append(jnp.zeros_like(col2))
+            logbs.append(jnp.log(k.variance.value.reshape(())).astype(dtype))
         else:
             extras.append(kernel_K(k, col1, col2).astype(dtype))
 
     if us1:
         u1, u2 = jnp.stack(us1), jnp.stack(us2)
         c1, c2 = jnp.stack(cs1), jnp.stack(cs2)
-        bvar = jnp.stack(bvars)
+        logb = jnp.stack(logbs)
     else:
         u1 = jnp.zeros((0, X.shape[0]), dtype)
         u2 = jnp.zeros((0, X2.shape[0]), dtype)
-        c1, c2, bvar = u1, u2, jnp.zeros((0,), dtype)
+        c1, c2, logb = u1, u2, jnp.zeros((0,), dtype)
     extra = (jnp.stack(extras) if extras
              else jnp.zeros((0, X.shape[0], X2.shape[0]), dtype))
 
@@ -355,15 +361,15 @@ def _prep(oak, X, X2):
             oak.variances[0].value.reshape(1).astype(dtype),
             jnp.ones((oak.max_interaction_depth,), dtype),
         ])
-    return u1, u2, c1, c2, extra, bvar, sig2
+    return u1, u2, c1, c2, extra, logb, sig2
 
 
-def _xla_gram_from_prep(u1, u2, c1, c2, extra, bvar, sig2, depth: int) -> jnp.ndarray:
+def _xla_gram_from_prep(u1, u2, c1, c2, extra, logb, sig2, depth: int) -> jnp.ndarray:
     """Straight-XLA reference of the same computation (backward + fallback)."""
     grams = []
     for d in range(u1.shape[0]):
         du = u1[d, :, None] - u2[d, None, :]
-        grams.append(bvar[0, d] * jnp.exp(-0.5 * du * du)
+        grams.append(jnp.exp(logb[0, d] - du * du)
                      - c1[d, :, None] * c2[d, None, :])
     for e_ in range(extra.shape[0]):
         grams.append(extra[e_])
@@ -374,7 +380,7 @@ def _xla_gram_from_prep(u1, u2, c1, c2, extra, bvar, sig2, depth: int) -> jnp.nd
     return out
 
 
-def _xla_gram_and_gs(u1, u2, c1, c2, extra, bvar, sig2, depth: int,
+def _xla_gram_and_gs(u1, u2, c1, c2, extra, logb, sig2, depth: int,
                      res_dtype=jnp.float32):
     """Forward that also returns the stacked per-dim grams [D+E, N, M]
     (RBF dims first, then the extra/discrete grams) — the residual for the
@@ -385,7 +391,7 @@ def _xla_gram_and_gs(u1, u2, c1, c2, extra, bvar, sig2, depth: int,
     grams = []
     for d in range(u1.shape[0]):
         du = u1[d, :, None] - u2[d, None, :]
-        grams.append(bvar[0, d] * jnp.exp(-0.5 * du * du)
+        grams.append(jnp.exp(logb[0, d] - du * du)
                      - c1[d, :, None] * c2[d, None, :])
     for e_ in range(extra.shape[0]):
         grams.append(extra[e_])
@@ -411,7 +417,7 @@ def _res_bwd(depth, res, gbar):
     correct and covers all dim types, but on v5e it LOSES to the recompute
     backward — the stored stack's HBM round-trips exceed the exp re-sweep
     cost it avoids. Kept as the measured record; not the default."""
-    u1, u2, c1, c2, extra, bvar, sig2, gs_lo = res
+    u1, u2, c1, c2, extra, logb, sig2, gs_lo = res
     P = depth
     D = u1.shape[0]
     E = extra.shape[0]
@@ -435,12 +441,14 @@ def _res_bwd(depth, res, gbar):
         T = dim_W(g)
         du = u1[d, :, None] - u2[d, None, :]
         bE = g + c1[d, :, None] * c2[d, None, :]
+        # d g/d u1 = bE * (-2 du) (exponent is -(u-u')^2, the 1/2 is folded
+        # into the prescale); d g/d logb = bE — no division
         TbE = T * bE
-        du1_rows.append(-(TbE * du).sum(1))
-        du2_rows.append((TbE * du).sum(0))
+        du1_rows.append(-2.0 * (TbE * du).sum(1))
+        du2_rows.append(2.0 * (TbE * du).sum(0))
         dc1_rows.append(-(T * c2[d, None, :]).sum(1))
         dc2_rows.append(-(T * c1[d, :, None]).sum(0))
-        db_vals.append(TbE.sum() / bvar[0, d])
+        db_vals.append(TbE.sum())
     if E:
         dextra = jnp.stack([dim_W(gs[D + j]) for j in range(E)])
     else:
@@ -453,18 +461,18 @@ def _res_bwd(depth, res, gbar):
 
 def _make_res_op(res_dtype):
     @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-    def op(u1, u2, c1, c2, extra, bvar, sig2, depth):
-        return _xla_gram_from_prep(u1, u2, c1, c2, extra, bvar, sig2, depth)
+    def op(u1, u2, c1, c2, extra, logb, sig2, depth):
+        return _xla_gram_from_prep(u1, u2, c1, c2, extra, logb, sig2, depth)
 
-    def fwd(u1, u2, c1, c2, extra, bvar, sig2, depth):
-        out, gs = _xla_gram_and_gs(u1, u2, c1, c2, extra, bvar, sig2, depth,
+    def fwd(u1, u2, c1, c2, extra, logb, sig2, depth):
+        out, gs = _xla_gram_and_gs(u1, u2, c1, c2, extra, logb, sig2, depth,
                                    res_dtype)
         # the barrier stops XLA's algebraic simplifier from eliding the
         # f32->bf16->f32 convert round-trip across the fwd/bwd boundary
         # (measured: without it the bf16 residual is silently kept f32 —
         # bit-identical gradients to the f32 policy)
         gs_lo = jax.lax.optimization_barrier(gs)
-        return out, (u1, u2, c1, c2, extra, bvar, sig2, gs_lo)
+        return out, (u1, u2, c1, c2, extra, logb, sig2, gs_lo)
 
     def bwd(depth, res, g):
         return _res_bwd(depth, res, g)
@@ -474,13 +482,13 @@ def _make_res_op(res_dtype):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _gram_op(u1, u2, c1, c2, extra, bvar, sig2, depth):
-    return _pallas_gram(u1, u2, c1, c2, extra, bvar, sig2, depth)
+def _gram_op(u1, u2, c1, c2, extra, logb, sig2, depth):
+    return _pallas_gram(u1, u2, c1, c2, extra, logb, sig2, depth)
 
 
-def _gram_fwd(u1, u2, c1, c2, extra, bvar, sig2, depth):
-    return (_pallas_gram(u1, u2, c1, c2, extra, bvar, sig2, depth),
-            (u1, u2, c1, c2, extra, bvar, sig2))
+def _gram_fwd(u1, u2, c1, c2, extra, logb, sig2, depth):
+    return (_pallas_gram(u1, u2, c1, c2, extra, logb, sig2, depth),
+            (u1, u2, c1, c2, extra, logb, sig2))
 
 
 # Implementation selectors, measured on v5e at the pumadyn config
@@ -532,16 +540,16 @@ def _res_op(kind):
 
 
 def _gram_bwd(depth, res, g):
-    u1, u2, c1, c2, extra, bvar, sig2 = res
+    u1, u2, c1, c2, extra, logb, sig2 = res
     # the handwritten Pallas backward covers the all-RBF case only; with
     # extra (discrete-dim) grams present the XLA recompute vjp handles
     # everything, including d/d extra
     if BACKWARD == "pallas" and extra.shape[0] == 0:
         du1, du2, dc1, dc2, db, ds2 = _pallas_gram_bwd(
-            u1, u2, c1, c2, bvar, sig2, g, depth)
+            u1, u2, c1, c2, logb, sig2, g, depth)
         return du1, du2, dc1, dc2, jnp.zeros_like(extra), db, ds2
     _, vjp = jax.vjp(lambda *a: _xla_gram_from_prep(*a, depth), u1, u2, c1, c2,
-                     extra, bvar, sig2)
+                     extra, logb, sig2)
     return vjp(g)
 
 
@@ -549,15 +557,15 @@ _gram_op.defvjp(_gram_fwd, _gram_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _gram_op_xla(u1, u2, c1, c2, extra, bvar, sig2, depth):
+def _gram_op_xla(u1, u2, c1, c2, extra, logb, sig2, depth):
     """Same contract as _gram_op with the forward generated by XLA from the
     prescaled inputs — shares _gram_bwd's recompute backward."""
-    return _xla_gram_from_prep(u1, u2, c1, c2, extra, bvar, sig2, depth)
+    return _xla_gram_from_prep(u1, u2, c1, c2, extra, logb, sig2, depth)
 
 
-def _gram_xla_fwd(u1, u2, c1, c2, extra, bvar, sig2, depth):
-    return (_xla_gram_from_prep(u1, u2, c1, c2, extra, bvar, sig2, depth),
-            (u1, u2, c1, c2, extra, bvar, sig2))
+def _gram_xla_fwd(u1, u2, c1, c2, extra, logb, sig2, depth):
+    return (_xla_gram_from_prep(u1, u2, c1, c2, extra, logb, sig2, depth),
+            (u1, u2, c1, c2, extra, logb, sig2))
 
 
 _gram_op_xla.defvjp(_gram_xla_fwd, _gram_bwd)
@@ -589,11 +597,11 @@ def oak_gram(oak, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarr
     forward generated per the FORWARD selector. Output dtype follows X."""
     X2_ = X if X2 is None else X2
     N, M = X.shape[0], X2_.shape[0]
-    u1, u2, c1, c2, extra, bvar, sig2 = _prep(oak, X, X2_)
+    u1, u2, c1, c2, extra, logb, sig2 = _prep(oak, X, X2_)
 
     if FORWARD != "pallas":
         op = _gram_op_xla if RESIDUAL == "recompute" else _res_op(RESIDUAL)
-        return op(u1, u2, c1, c2, extra, bvar[None, :],
+        return op(u1, u2, c1, c2, extra, logb[None, :],
                   sig2[None, :],
                   oak.max_interaction_depth).astype(X.dtype)
 
@@ -604,7 +612,7 @@ def oak_gram(oak, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarr
     c2 = jnp.pad(c2, ((0, 0), (0, Mp - M)))
     extra = jnp.pad(extra, ((0, 0), (0, Np - N), (0, Mp - M)))
 
-    out = _gram_op(u1, u2, c1, c2, extra, bvar[None, :], sig2[None, :],
+    out = _gram_op(u1, u2, c1, c2, extra, logb[None, :], sig2[None, :],
                    oak.max_interaction_depth)
     return out[:N, :M].astype(X.dtype)
 
@@ -612,7 +620,7 @@ def oak_gram(oak, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarr
 def oak_gram_xla(oak, X: jnp.ndarray, X2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """The same computation without Pallas (testing / CPU fallback)."""
     X2_ = X if X2 is None else X2
-    u1, u2, c1, c2, extra, bvar, sig2 = _prep(oak, X, X2_)
-    return _xla_gram_from_prep(u1, u2, c1, c2, extra, bvar[None, :],
+    u1, u2, c1, c2, extra, logb, sig2 = _prep(oak, X, X2_)
+    return _xla_gram_from_prep(u1, u2, c1, c2, extra, logb[None, :],
                                sig2[None, :],
                                oak.max_interaction_depth).astype(X.dtype)

@@ -237,8 +237,12 @@ def test_residual_backward_mixed_types(rng):
                       jax.tree_util.tree_leaves(g_ref)))
     assert any(np.any(np.asarray(a) != 0) for a, _ in leaves)
     for a, b in leaves:
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-4, atol=1e-5)
+        b = np.asarray(b)
+        # f32 summation-order noise scales with the leaf's magnitude, not
+        # element-wise (small components of an O(1) gradient leaf carry the
+        # full accumulation round-off)
+        atol = 5e-4 * max(float(np.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), b, rtol=5e-4, atol=atol)
 
 
 def test_residual_forward_value_unchanged(rng):

@@ -340,3 +340,81 @@ def test_full_q_model_checkpoint_roundtrip(rng, tmp_path):
     assert oak2.m.q_sqrt.value.ndim == 3  # [R, M, M], not diag [M, R]
     np.testing.assert_allclose(oak2.predict_proba(X), oak.predict_proba(X),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_fused_and_staggered_q_update_identical(rng):
+    """The fused (one-backward) and staggered (two-backward) forms of
+    natgrad_adam_step linearize the q(u) natural step at the SAME point, so
+    after one step the variational parameters must be bit-comparable; only
+    the hyper step may differ (its gradient is taken at old-q vs post-
+    natgrad-q). Checked on full-q (vmapped latent algebra) and mean-field."""
+    import jax
+    import optax
+
+    from oak_tpu.optim.natgrad import natgrad_adam_step
+    from oak_tpu.params import flatten_trainable
+
+    for q_diag in (False, True):
+        k, X, y, Z = _setup(rng)
+        svgp = SVGP.create(k, Gaussian.create(0.01), Z, q_diag=q_diag,
+                           whiten=True, num_data=X.shape[0])
+        Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+
+        def loss(m, a, b):
+            return m.training_loss(a, b)
+
+        vec0, unflatten = flatten_trainable(svgp)
+        opt = optax.adam(1e-2)
+        st0 = opt.init(vec0)
+        outs = {}
+        for name, staggered in (("fused", False), ("staggered", True)):
+            step = jax.jit(natgrad_adam_step(opt, unflatten, loss, 0.3,
+                                             staggered=staggered))
+            v1, _, l1 = step(vec0, st0, Xj, Yj)
+            outs[name] = (unflatten(v1), float(l1))
+
+        mf, _ = outs["fused"]
+        ms, _ = outs["staggered"]
+        np.testing.assert_allclose(np.asarray(mf.q_mu.value),
+                                   np.asarray(ms.q_mu.value),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(mf.q_sqrt.value),
+                                   np.asarray(ms.q_sqrt.value),
+                                   rtol=1e-6, atol=1e-8)
+        # the hyper steps took the same-shaped Adam move (sign pattern may
+        # differ at most where the two gradients disagree); at minimum both
+        # moved the hypers and stayed finite
+        assert np.all(np.isfinite(np.asarray(
+            flatten_trainable(mf)[0])))
+        # fused reports the pre-update loss; staggered the post-natgrad
+        # loss - both must be finite
+        assert np.isfinite(outs["fused"][1])
+        assert np.isfinite(outs["staggered"][1])
+
+
+def test_fused_hyper_gradient_matches_direct(rng):
+    """The fused step's hyper gradient (from the joint vjp with q severed
+    by _with_eta) must equal d loss/d vec with the q entries zeroed,
+    computed the plain way."""
+    import jax
+
+    from oak_tpu.optim.natgrad import _eta_params, _with_eta
+    from oak_tpu.params import apply_trainable_mask, flatten_trainable
+
+    k, X, y, Z = _setup(rng)
+    svgp = SVGP.create(k, Gaussian.create(0.01), Z, q_diag=False,
+                       whiten=True, num_data=X.shape[0])
+    Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+    vec0, unflatten = flatten_trainable(svgp)
+
+    e1, e2 = _eta_params(svgp)
+    g_joint = jax.grad(
+        lambda v: _with_eta(unflatten(v), e1, e2).training_loss(Xj, Yj))(vec0)
+
+    g_tree = jax.grad(lambda m: m.training_loss(Xj, Yj))(svgp)
+    zq = jax.tree_util.tree_map(jnp.zeros_like, (g_tree.q_mu, g_tree.q_sqrt))
+    g_tree = g_tree.replace(q_mu=zq[0], q_sqrt=zq[1])
+    g_direct, _ = flatten_trainable(apply_trainable_mask(g_tree, svgp))
+
+    np.testing.assert_allclose(np.asarray(g_joint), np.asarray(g_direct),
+                               rtol=1e-5, atol=1e-7)

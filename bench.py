@@ -151,9 +151,11 @@ def run_bench(args):
             return jnp.sum(mu) + jnp.sum(var)
 
         jax.device_get(predict_sum(trained, Xj))
-        t2 = time.perf_counter()
-        jax.device_get(predict_sum(trained, Xj))
-        predict_ms = (time.perf_counter() - t2) * 1000
+        predict_ms = float("inf")  # best-of-3: the ~30 ms fetch RTT jitters
+        for _ in range(3):
+            t2 = time.perf_counter()
+            jax.device_get(predict_sum(trained, Xj))
+            predict_ms = min(predict_ms, (time.perf_counter() - t2) * 1000)
 
     backend = jax.default_backend()
     # CPU reference for the identical workload on this image's single core

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..kernels.oak_kernel import OAKKernel
-from ..ops.psd import cholesky, solve_lower, solve_upper
+from ..ops.psd import cholesky, solve_lower, solve_upper, tri_inv_lower
 from ..params import Param, fixed, log_prior_density, param
 from .likelihoods import Gaussian
 
@@ -50,7 +50,9 @@ class SGPR:
         Kuu = self.kernel.K(Z)
         Kuf = self.kernel.K(Z, self.X)  # [M, N]
         L = cholesky(Kuu)  # jittered
-        A = solve_lower(L, Kuf) / sigma  # [M, N]
+        # [M, N] wide-RHS solve as explicit-inverse GEMM (ops/psd.py
+        # tri_inv_lower) — this is the per-iteration hot op of SGPR fits
+        A = (tri_inv_lower(L) @ Kuf) / sigma  # [M, N]
         B = A @ A.T + jnp.eye(A.shape[0], dtype=A.dtype)
         LB = cholesky(B, jitter=0.0)
         Aerr = A @ self.Y
@@ -80,8 +82,8 @@ class SGPR:
         L, A, LB, c, _ = self._common()
         Xnew = jnp.asarray(Xnew)
         Kus = self.kernel.K(self.Z.value, Xnew)  # [M, S]
-        tmp1 = solve_lower(L, Kus)  # [M, S]
-        tmp2 = solve_lower(LB, tmp1)  # [M, S]
+        tmp1 = tri_inv_lower(L) @ Kus  # [M, S]
+        tmp2 = tri_inv_lower(LB) @ tmp1  # [M, S]
         mean = tmp2.T @ c
         if full_cov:
             cov = self.kernel.K(Xnew) - tmp1.T @ tmp1 + tmp2.T @ tmp2

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..kernels.oak_kernel import OAKKernel
-from ..ops.psd import cholesky, solve_lower, solve_upper
+from ..ops.psd import cholesky, solve_lower, solve_upper, tri_inv_lower
 from ..params import Param, fixed, log_prior_density, param, positive
 
 
@@ -93,13 +93,16 @@ class SVGP:
         Kuu = self.kernel.K(Z)
         Luu = cholesky(Kuu)
         Kus = self.kernel.K(Z, Xnew)  # [M, S]
-        A = solve_lower(Luu, Kus)  # [M, S]
+        # wide-RHS solves as explicit-inverse GEMMs (ops/psd.py
+        # tri_inv_lower: ~2x faster fwd+bwd on TPU at the bench shapes)
+        Linv = tri_inv_lower(Luu)
+        A = Linv @ Kus  # [M, S] = Luu^{-1} Kus
         q_mu = self.q_mu.value
         R = q_mu.shape[1]
         if self.whiten:
             W = A  # [M, S] maps whitened u to f
         else:
-            W = solve_upper(Luu, A)  # Kuu^{-1} Kus
+            W = Linv.T @ A  # Kuu^{-1} Kus
 
         mean = W.T @ q_mu  # [S, R]
 

@@ -40,6 +40,8 @@ from .sobol import (
     compute_sobol_oak,
     get_prediction_component,
     normalize_sobol,
+    num_latents,
+    select_latent,
 )
 from .checkpoint import (
     load_oak_model,

@@ -120,13 +120,26 @@ def var_s(k: OrthogonalRBF) -> jnp.ndarray:
     raise NotImplementedError(f"measure {type(m)}")
 
 
+def _var_s_floored(k) -> jnp.ndarray:
+    """var_s floored so the downdate stays differentiable when a
+    sparsity-pruned base variance underflows to exactly 0 (then var_s = 0
+    too and the downdate would be 0/0 = NaN; the correct limit is 0 — the
+    whole kernel vanishes with sigma^2). The floor is sqrt(tiny), NOT tiny:
+    the division/rsqrt VJPs form var_s^2 and var_s^{-3/2}, which at the
+    smallest normal would underflow to 0 / overflow to inf and turn the
+    zero cotangent into 0 * inf = NaN. sqrt(tiny) (1.1e-19 in f32) keeps
+    both representable and never engages for any realistic variance."""
+    v = var_s(k)
+    return jnp.maximum(v, jnp.sqrt(jnp.finfo(v.dtype).tiny))
+
+
 def K(k: OrthogonalRBF, x: jnp.ndarray, x2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Constrained gram: base - rank-1 downdate (ortho_rbf_kernel.py:157-172)."""
     cx = cov_x_s(k, x)
     cx2 = cx if x2 is None else cov_x_s(k, x2)
-    return rbf(k, x, x2) - jnp.outer(cx, cx2) / var_s(k)
+    return rbf(k, x, x2) - jnp.outer(cx, cx2) / _var_s_floored(k)
 
 
 def K_diag(k: OrthogonalRBF, x: jnp.ndarray) -> jnp.ndarray:
     cx = cov_x_s(k, x)
-    return rbf_diag(k, x) - cx * cx / var_s(k)
+    return rbf_diag(k, x) - cx * cx / _var_s_floored(k)

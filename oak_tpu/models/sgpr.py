@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..kernels.oak_kernel import OAKKernel
-from ..ops.psd import cholesky, solve_lower, solve_upper, tri_inv_lower
+from ..ops.psd import (cholesky, solve_lower, solve_upper,
+                       tri_inv_lower, wide_rhs)
 from ..params import Param, fixed, log_prior_density, param
 from .likelihoods import Gaussian
 
@@ -51,16 +52,18 @@ class SGPR:
         Kuf = self.kernel.K(Z, self.X)  # [M, N]
         L = cholesky(Kuu)  # jittered
         # [M, N] wide-RHS solve as explicit-inverse GEMM (ops/psd.py
-        # tri_inv_lower) — this is the per-iteration hot op of SGPR fits
-        A = (tri_inv_lower(L) @ Kuf) / sigma  # [M, N]
+        # tri_inv_lower) — this is the per-iteration hot op of SGPR fits;
+        # Linv is returned so predict/posterior paths reuse it for free
+        Linv = tri_inv_lower(L)
+        A = (Linv @ Kuf) / sigma  # [M, N]
         B = A @ A.T + jnp.eye(A.shape[0], dtype=A.dtype)
         LB = cholesky(B, jitter=0.0)
         Aerr = A @ self.Y
         c = solve_lower(LB, Aerr) / sigma  # [M, R]
-        return L, A, LB, c, sigma2
+        return L, Linv, A, LB, c, sigma2
 
     def elbo(self) -> jnp.ndarray:
-        L, A, LB, c, sigma2 = self._common()
+        L, _, A, LB, c, sigma2 = self._common()
         N, R = self.Y.shape
         kdiag_sum = jnp.sum(self.kernel.K_diag(self.X))
         trace_term = jnp.sum(A * A)  # tr(A A^T) in the whitened space
@@ -79,11 +82,16 @@ class SGPR:
 
     # ------------------------------------------------------------------ #
     def predict_f(self, Xnew, full_cov: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        L, A, LB, c, _ = self._common()
+        L, Linv, A, LB, c, _ = self._common()
         Xnew = jnp.asarray(Xnew)
         Kus = self.kernel.K(self.Z.value, Xnew)  # [M, S]
-        tmp1 = tri_inv_lower(L) @ Kus  # [M, S]
-        tmp2 = tri_inv_lower(LB) @ tmp1  # [M, S]
+        tmp1 = Linv @ Kus  # [M, S]; Linv already formed by _common
+        # explicit inverse only pays off for a wide RHS (shapes are static,
+        # so this is a trace-time branch)
+        if wide_rhs(Xnew.shape[0], LB.shape[0]):
+            tmp2 = tri_inv_lower(LB) @ tmp1  # [M, S]
+        else:
+            tmp2 = solve_lower(LB, tmp1)
         mean = tmp2.T @ c
         if full_cov:
             cov = self.kernel.K(Xnew) - tmp1.T @ tmp1 + tmp2.T @ tmp2
@@ -116,18 +124,15 @@ class SGPR:
 
     # ------------------------------------------------------------------ #
     def posterior_alpha(self) -> jnp.ndarray:
-        L, A, LB, c, _ = self._common()
+        L, _, A, LB, c, _ = self._common()
         return solve_upper(L, solve_upper(LB, c))
 
     def posterior_stats(self):
         """(alpha, Qinv): predictive mean = Kxu alpha, predictive covariance
         = Kxx - Kxu Qinv Kux. Matches the reference's hand-derived SGPR branch
         (utils.py:180-204): alpha = L^{-T} LB^{-T} c; Qinv = L^{-T}(I - B^{-1})L^{-1}."""
-        L, A, LB, c, _ = self._common()
+        L, Linv, A, LB, c, _ = self._common()
         alpha = solve_upper(L, solve_upper(LB, c))
-        M = L.shape[0]
-        eye = jnp.eye(M, dtype=L.dtype)
-        Linv = solve_lower(L, eye)
         LBinv_Linv = solve_lower(LB, Linv)
         Qinv = Linv.T @ Linv - LBinv_Linv.T @ LBinv_Linv
         return alpha, Qinv

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..kernels.oak_kernel import OAKKernel
-from ..ops.psd import cholesky, solve_lower, solve_upper, tri_inv_lower
+from ..ops.psd import (cholesky, solve_lower, solve_upper,
+                       tri_inv_lower, wide_rhs)
 from ..params import Param, fixed, log_prior_density, param, positive
 
 
@@ -93,16 +94,22 @@ class SVGP:
         Kuu = self.kernel.K(Z)
         Luu = cholesky(Kuu)
         Kus = self.kernel.K(Z, Xnew)  # [M, S]
-        # wide-RHS solves as explicit-inverse GEMMs (ops/psd.py
-        # tri_inv_lower: ~2x faster fwd+bwd on TPU at the bench shapes)
-        Linv = tri_inv_lower(Luu)
-        A = Linv @ Kus  # [M, S] = Luu^{-1} Kus
         q_mu = self.q_mu.value
         R = q_mu.shape[1]
-        if self.whiten:
-            W = A  # [M, S] maps whitened u to f
+        if wide_rhs(Xnew.shape[0], Luu.shape[0]):
+            # wide-RHS solves as explicit-inverse GEMMs (ops/psd.py
+            # tri_inv_lower: ~2x faster fwd+bwd on TPU at the bench
+            # shapes) — this is the ELBO/training branch (S = batch >= M)
+            Linv = tri_inv_lower(Luu)
+            A = Linv @ Kus  # [M, S] = Luu^{-1} Kus
+            W = A if self.whiten else Linv.T @ A  # Kuu^{-1} Kus
         else:
-            W = Linv.T @ A  # Kuu^{-1} Kus
+            # narrow or SYMBOLIC RHS (small predict grids; jax.export
+            # with a polymorphic batch): direct solves — cheaper than
+            # forming the [M, M] inverse, and valid for any batch size
+            # (trace-time branch; see ops/psd.py wide_rhs)
+            A = solve_lower(Luu, Kus)
+            W = A if self.whiten else solve_upper(Luu, A)
 
         mean = W.T @ q_mu  # [S, R]
 
@@ -187,10 +194,11 @@ class SVGP:
         eye = jnp.eye(M, dtype=Luu.dtype)
         if self.whiten:
             alpha = solve_upper(Luu, q_mu)
-            Linv = solve_lower(Luu, eye)
+            Linv = tri_inv_lower(Luu)
             Qinv = Linv.T @ (eye - S) @ Linv
         else:
-            Kuu_inv = solve_upper(Luu, solve_lower(Luu, eye))
+            Linv = tri_inv_lower(Luu)
+            Kuu_inv = Linv.T @ Linv
             alpha = Kuu_inv @ q_mu
             Qinv = Kuu_inv - Kuu_inv @ S @ Kuu_inv
         return alpha, Qinv

@@ -333,13 +333,26 @@ def _prep(oak, X, X2):
             us1.append(col1 / ls2)
             us2.append(col2 / ls2)
             if isinstance(k, OrthogonalRBF):
-                rs = jax.lax.rsqrt(ortho_rbf.var_s(k).astype(dtype))
+                # floored like the analytic path (ortho_rbf._var_s_floored,
+                # incl. the sqrt(tiny)-not-tiny VJP rationale): with a
+                # pruned variance, cov and var_s both underflow to 0 and
+                # rsqrt(0) = inf would make the downdate 0 * inf = NaN
+                rs = jax.lax.rsqrt(jnp.maximum(
+                    ortho_rbf.var_s(k).astype(dtype), 1.0842022e-19))
                 cs1.append(ortho_rbf.cov_x_s(k, col1).astype(dtype) * rs)
                 cs2.append(ortho_rbf.cov_x_s(k, col2).astype(dtype) * rs)
             else:
                 cs1.append(jnp.zeros_like(col1))
                 cs2.append(jnp.zeros_like(col2))
-            logbs.append(jnp.log(k.variance.value.reshape(())).astype(dtype))
+            # floor at the smallest f32 normal: a sparsity-pruned variance
+            # whose softplus underflows to exactly 0 would give
+            # logb = -inf, and the backward's (1/variance) chain factor
+            # would turn the (zero) logb-cotangent into 0 * inf = NaN —
+            # poisoning the whole gradient. With the floor the clamped
+            # branch has zero derivative, so the pruned dim's gradient is
+            # exactly 0 (matching its already-underflowed softplus slope).
+            v = k.variance.value.reshape(()).astype(dtype)
+            logbs.append(jnp.log(jnp.maximum(v, 1.1754944e-38)))
         else:
             extras.append(kernel_K(k, col1, col2).astype(dtype))
 

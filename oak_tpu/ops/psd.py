@@ -87,6 +87,19 @@ def tri_inv_lower(L: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
 
 
+def wide_rhs(n, m) -> bool:
+    """True when an [m, m] triangular factor applied to an n-column RHS
+    should take the explicit-inverse GEMM route (n >= m; see
+    tri_inv_lower). A SYMBOLIC n (jax.export with a polymorphic batch
+    dimension) compares inconclusively — fall back to direct solves,
+    which are correct for any batch and cheapest for the small-request
+    serving case."""
+    try:
+        return bool(n >= m)
+    except Exception:
+        return False
+
+
 def solve_upper(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Solves L^T x = B given lower-triangular L."""
     return jax.scipy.linalg.solve_triangular(L.T, B, lower=False)

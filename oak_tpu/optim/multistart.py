@@ -275,7 +275,7 @@ def fit_natgrad_multistart(model, loss_fn: Callable, n_starts: int = 4,
                            steps: int = 200, gamma: float = 0.1,
                            hyper_lr: float = 1e-2, include_init: bool = True,
                            accept_fn: Optional[Callable] = None,
-                           mesh=None) -> FitResult:
+                           mesh=None, staggered: bool = False) -> FitResult:
     """K jittered natgrad+Adam runs as ONE batched ``lax.scan`` over the
     vmapped alternating update (``natgrad.natgrad_adam_step`` — the SAME
     update definition the single-start optimizers run, so the lanes cannot
@@ -287,7 +287,8 @@ def fit_natgrad_multistart(model, loss_fn: Callable, n_starts: int = 4,
     starts = _shard_starts(_make_starts(vec0, n_starts, jitter, seed,
                                         include_init), n_starts, mesh)
     opt = optax.adam(hyper_lr)
-    step = natgrad_adam_step(opt, unflatten, lambda m: loss_fn(m), gamma)
+    step = natgrad_adam_step(opt, unflatten, lambda m: loss_fn(m), gamma,
+                             staggered=staggered)
 
     def one_step(carry, _):
         vecs, sts = carry

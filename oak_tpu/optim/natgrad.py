@@ -236,15 +236,20 @@ def natgrad_adam_step(opt, unflatten, loss_fn: Callable, gamma: float,
 
 def fit_natgrad_adam(model, loss_fn: Callable, steps: int = 200,
                      gamma: float = 0.1, hyper_lr: float = 1e-2,
-                     batch_fn: Optional[Callable] = None) -> FitResult:
+                     batch_fn: Optional[Callable] = None,
+                     staggered: bool = False) -> FitResult:
     """Alternate natural-gradient steps on the variational parameters with
     Adam steps on every other trainable. ``loss_fn(model)`` (full-batch) or
     ``loss_fn(model, *batch_fn(i))`` (minibatch). ``gamma=1`` with a Gaussian
-    likelihood makes each variational step exact."""
+    likelihood makes each variational step exact. ``staggered=True``
+    selects the two-backward-pass ordering (see ``natgrad_adam_step``);
+    the reported ``fun`` is the loss at the final step's linearization
+    point (pre-update when fused, post-natgrad when staggered)."""
     warn_if_q_diag(model)
     vec0, unflatten = flatten_trainable(model)
     opt = optax.adam(hyper_lr)
-    step = jax.jit(natgrad_adam_step(opt, unflatten, loss_fn, gamma))
+    step = jax.jit(natgrad_adam_step(opt, unflatten, loss_fn, gamma,
+                                     staggered=staggered))
 
     opt_state = opt.init(vec0)
     vec = vec0
@@ -262,8 +267,8 @@ def fit_natgrad_adam(model, loss_fn: Callable, steps: int = 200,
 def fit_natgrad_scan(model, loss_fn: Callable, steps: int = 200,
                      gamma: float = 0.1, hyper_lr: float = 1e-2,
                      batch_args=None, checkpoint_path=None,
-                     checkpoint_every: int = 0, resume: bool = True
-                     ) -> FitResult:
+                     checkpoint_every: int = 0, resume: bool = True,
+                     staggered: bool = False) -> FitResult:
     """Device-resident form of ``fit_natgrad_adam``: the whole alternating
     natgrad/Adam run is ONE ``lax.scan`` under jit (same update math — same
     stream in, same trajectory out, tested). ``batch_args``: tuple of arrays
@@ -280,7 +285,8 @@ def fit_natgrad_scan(model, loss_fn: Callable, steps: int = 200,
     warn_if_q_diag(model)
     vec0, unflatten = flatten_trainable(model)
     opt = optax.adam(hyper_lr)
-    step = natgrad_adam_step(opt, unflatten, loss_fn, gamma)
+    step = natgrad_adam_step(opt, unflatten, loss_fn, gamma,
+                             staggered=staggered)
 
     def one_step(carry, xs):
         vec, opt_state = carry

@@ -86,7 +86,8 @@ def data_parallel_elbo_step(model, mesh: Mesh, learning_rate: float = 1e-2,
 
 
 def data_parallel_natgrad_step(model, mesh: Mesh, gamma: float = 0.2,
-                               hyper_lr: float = 1e-2, axis: str = DATA_AXIS):
+                               hyper_lr: float = 1e-2, axis: str = DATA_AXIS,
+                               staggered: bool = False):
     """Data-parallel natural-gradient training step (natgrad on q(u) +
     Adam on the hyperparameters, optim/natgrad.py) with the batch sharded
     over the mesh's data axis and all parameters replicated — the same
@@ -109,7 +110,8 @@ def data_parallel_natgrad_step(model, mesh: Mesh, gamma: float = 0.2,
         in_shardings=(repl, repl, shard, shard),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
-    )(natgrad_adam_step(opt, unflatten, loss_fn, gamma))
+    )(natgrad_adam_step(opt, unflatten, loss_fn, gamma,
+                        staggered=staggered))
 
     vec0 = replicate(mesh, vec0)
     opt_state = replicate(mesh, opt.init(vec0))

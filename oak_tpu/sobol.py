@@ -358,23 +358,57 @@ def _model_X(model):
     return model.data[0] if X is None else X
 
 
-def check_single_latent(model) -> None:
-    """Sobol/plotting attribute the variance of ONE latent process. The
-    reference silently uses latent 0 on a multi-latent SVGP
-    (/root/reference/oak/utils.py:174-179 takes posterior Qinv[0]); oak_tpu
-    rejects instead — build one single-latent model per output. Checked on
-    the host (q_mu / Y column counts are static shapes)."""
+def num_latents(model) -> int:
+    """Number of latent functions/outputs (static shape, host-side):
+    q(u) columns for SVGP, Y columns for GPR/SGPR."""
     q = getattr(model, "q_mu", None)
     if q is not None:
-        R = int(q.value.shape[1])
-    else:
-        data = getattr(model, "data", None)
-        R = int(np.shape(data[1])[1]) if data is not None else 1
+        return int(q.value.shape[1])
+    data = getattr(model, "data", None)
+    return int(np.shape(data[1])[1]) if data is not None else 1
+
+
+def select_latent(model, latent: int):
+    """A single-latent VIEW of a multi-latent/multi-output model: q(u)
+    (SVGP) or Y (GPR/SGPR) sliced to one column, everything else shared.
+    All single-latent machinery (posterior stats, Sobol, effect plots)
+    then applies to the selected latent unchanged."""
+    R = num_latents(model)
+    if not 0 <= latent < R:
+        raise ValueError(f"latent={latent} out of range for a model with "
+                         f"{R} latent function(s)")
+    if R == 1:
+        return model
+    if getattr(model, "q_mu", None) is not None:
+        q_mu = model.q_mu.replace(raw=model.q_mu.raw[:, latent:latent + 1])
+        qs_raw = model.q_sqrt.raw
+        qs_raw = (qs_raw[:, latent:latent + 1] if model.q_diag
+                  else qs_raw[latent:latent + 1])
+        return model.replace(q_mu=q_mu,
+                             q_sqrt=model.q_sqrt.replace(raw=qs_raw))
+    return model.replace(Y=model.Y[:, latent:latent + 1])
+
+
+def resolve_latent(model, latent=None):
+    """The model restricted to one latent. ``latent=None`` requires a
+    single-latent model — the reference SILENTLY uses latent 0 on a
+    multi-latent SVGP (/root/reference/oak/utils.py:174-179 takes posterior
+    Qinv[0]); oak_tpu requires the caller to choose instead."""
+    if latent is not None:
+        return select_latent(model, int(latent))
+    R = num_latents(model)
     if R > 1:
         raise NotImplementedError(
             f"model has {R} latent functions/outputs; Sobol decomposition "
-            "and effect plots are defined for a single latent function — "
-            "fit one single-latent model per output instead")
+            "and effect plots attribute the variance of ONE latent — pass "
+            "latent=r (0..R-1) to the Sobol APIs, or plot/analyze the "
+            "single-latent view oak_tpu.sobol.select_latent(model, r)")
+    return model
+
+
+def check_single_latent(model) -> None:
+    """Back-compat guard (raises on multi-latent; see resolve_latent)."""
+    resolve_latent(model, None)
 
 
 # Cap on the prefix-product matrix Q_k [C_k, N*N] kept live by the ladder;
@@ -621,7 +655,8 @@ def _check_measure_override(oak: OAKKernel, delta, mu) -> None:
 
 
 def compute_sobol_oak(model, delta=None, mu=None,
-                      max_interaction_depth: Optional[int] = None
+                      max_interaction_depth: Optional[int] = None,
+                      latent: Optional[int] = None
                       ) -> Tuple[List[List[int]], np.ndarray]:
     """Sobol index of every additive component (skipping the constant), in the
     reference's component order (utils.py:338-435). Returns (tuples, values).
@@ -629,9 +664,12 @@ def compute_sobol_oak(model, delta=None, mu=None,
 
     ``delta``/``mu`` (reference API) are accepted for a measure MATCHING the
     kernels' own (the reference always passes delta=1, mu=0); a differing
-    override raises rather than silently computing under the wrong measure."""
+    override raises rather than silently computing under the wrong measure.
+    ``latent`` selects one latent/output of a multi-latent model (the
+    decomposition is per latent; omitting it on a multi-latent model
+    raises — see resolve_latent)."""
     oak: OAKKernel = model.kernel
-    check_single_latent(model)
+    model = resolve_latent(model, latent)
     _check_measure_override(oak, delta, mu)
     depth = _check_depth_override(oak, max_interaction_depth)
     tuples = component_index_tuples(oak.num_dims, depth)[1:]
@@ -655,14 +693,15 @@ _sobol_by_order_jit = jax.jit(_sobol_by_order_impl, static_argnums=(1,))
 
 
 def compute_sobol_by_order(model, delta=None, mu=None,
-                           max_depth: Optional[int] = None) -> np.ndarray:
+                           max_depth: Optional[int] = None,
+                           latent: Optional[int] = None) -> np.ndarray:
     """Total (unnormalized) Sobol mass per interaction order 1..P in O(D·P)
     via Newton-Girard over the L matrices — no tuple enumeration. TPU-side
     replacement for the reference's post-hoc aggregation loops
     (uci_regression_train.py:157-160). NOTE: shares the Hadamard quadratic
     form's conditioning; prefer compute_sobol_oak sums for pathological
     (near-noiseless, unbounded) fits."""
-    check_single_latent(model)
+    model = resolve_latent(model, latent)
     _check_measure_override(model.kernel, delta, mu)
     depth = _check_depth_override(model.kernel, max_depth)
     return np.asarray(_sobol_by_order_jit(model, depth))
@@ -723,13 +762,15 @@ _prediction_component_jit = jax.jit(_prediction_component_impl,
 
 
 def get_prediction_component(model, alpha=None, X=None,
-                             max_interaction_depth: Optional[int] = None) -> np.ndarray:
+                             max_interaction_depth: Optional[int] = None,
+                             latent: Optional[int] = None) -> np.ndarray:
     """Per-component predictive means, [C, N] in the reference's component
     order (utils.py:491-530). Sums (plus the constant term) to the full
     predictive mean. ``alpha`` is accepted for reference API compat but is
-    recomputed from the model posterior."""
+    recomputed from the model posterior. ``latent`` selects one
+    latent/output of a multi-latent model."""
     oak: OAKKernel = model.kernel
-    check_single_latent(model)
+    model = resolve_latent(model, latent)
     if X is None:
         X = model.data[0]
     depth = _check_depth_override(oak, max_interaction_depth)

@@ -418,3 +418,23 @@ def test_fused_hyper_gradient_matches_direct(rng):
 
     np.testing.assert_allclose(np.asarray(g_joint), np.asarray(g_direct),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_staggered_reachable_from_public_fitters(rng):
+    """staggered=True must be reachable through the public entry points
+    (fit_natgrad_adam here; fit_natgrad_scan / data_parallel_natgrad_step /
+    fit_natgrad_multistart take the same kwarg) and converge."""
+    k, X, y, Z = _setup(rng)
+    svgp = SVGP.create(k, Gaussian.create(0.05), Z, q_diag=False,
+                       whiten=True, num_data=X.shape[0])
+    Xj, Yj = jnp.asarray(X), jnp.asarray(y)
+
+    def loss(m, *a):
+        return m.training_loss(Xj, Yj)
+
+    res = fit_natgrad_adam(svgp, loss, steps=5, gamma=0.5, staggered=True)
+    assert res.success and np.isfinite(res.fun)
+    # and it descends vs the start
+    start = float(svgp.training_loss(Xj, Yj))
+    end = float(res.model.training_loss(Xj, Yj))
+    assert end < start

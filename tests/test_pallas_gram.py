@@ -275,3 +275,37 @@ def test_default_forward_custom_vjp_matches_autodiff(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-9)
+
+
+def test_underflowed_variance_gradient_finite(rng):
+    """A sparsity-pruned per-dim variance whose f32 softplus underflows to
+    exactly 0 must give a FINITE (zero) gradient, not NaN: the folded
+    logb = log(variance) prescale is floored at the smallest f32 normal
+    (oak_gram_pallas._prep), otherwise the backward's 1/variance chain
+    factor times the zero logb-cotangent is 0 * inf = NaN and poisons the
+    whole gradient vector."""
+    oak = OAKKernel.create(num_dims=3, max_interaction_depth=2,
+                           dtype=jnp.float32)
+    # crush dim 1's base variance: softplus(-200) == 0.0 in f32
+    k1 = oak.kernels[1]
+    dead = k1.variance.replace(
+        raw=jnp.full_like(k1.variance.raw, -200.0))
+    kernels = list(oak.kernels)
+    kernels[1] = k1.replace(variance=dead)
+    oak = oak.replace(kernels=tuple(kernels))
+    assert float(oak.kernels[1].variance.value) == 0.0
+
+    X = jnp.asarray(rng.normal(size=(24, 3)).astype(np.float32))
+
+    def f(k):
+        return jnp.sum(ogp.oak_gram(k, X, X))
+
+    val = f(oak)
+    g = jax.grad(f)(oak)
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # the dead dim's variance gradient is exactly zero (its softplus slope
+    # already underflowed), and live dims still get nonzero gradients
+    assert float(jnp.sum(jnp.abs(g.kernels[1].variance.raw))) == 0.0
+    assert float(jnp.sum(jnp.abs(g.kernels[0].lengthscale.raw))) > 0.0

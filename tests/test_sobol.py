@@ -396,3 +396,83 @@ def test_multi_latent_model_rejected(rng):
     # single-latent passes the guard
     m1 = SVGP.create(k, Gaussian.create(0.1), X[:6])
     sb.check_single_latent(m1)
+
+
+def test_multi_latent_sobol_by_selection(rng):
+    """latent=r on the Sobol APIs (and select_latent for plotting) turns the
+    round-1 guard into a capability: per-latent decompositions on a shared-
+    kernel multi-latent SVGP, each equal to an independently constructed
+    single-latent model with the same q(u) column."""
+    from oak_tpu import plotting, select_latent
+    from oak_tpu.models import SVGP, Gaussian
+
+    X = rng.normal(size=(16, 2))
+    k = OAKKernel.create(num_dims=2, max_interaction_depth=2)
+    Z = X[:8]
+    for q_diag in (True, False):
+        m = SVGP.create(k, Gaussian.create(0.1), Z, num_latent=2,
+                        q_diag=q_diag)
+        # distinct non-trivial posteriors per latent
+        q_mu = jnp.asarray(rng.normal(size=(8, 2)))
+        m = m.replace(q_mu=m.q_mu.assign(q_mu))
+        if q_diag:
+            m = m.replace(q_sqrt=m.q_sqrt.assign(
+                jnp.asarray(0.5 + rng.uniform(size=(8, 2)))))
+
+        for r in (0, 1):
+            single = SVGP.create(k, Gaussian.create(0.1), Z, num_latent=1,
+                                 q_diag=q_diag)
+            single = single.replace(
+                q_mu=single.q_mu.assign(q_mu[:, r:r + 1]))
+            if q_diag:
+                single = single.replace(q_sqrt=single.q_sqrt.assign(
+                    m.q_sqrt.value[:, r:r + 1]))
+            else:
+                single = single.replace(q_sqrt=single.q_sqrt.replace(
+                    raw=m.q_sqrt.raw[r:r + 1]))
+
+            tup_m, val_m = sb.compute_sobol_oak(m, latent=r)
+            tup_s, val_s = sb.compute_sobol_oak(single)
+            assert tup_m == tup_s
+            np.testing.assert_allclose(val_m, val_s, rtol=1e-12)
+            np.testing.assert_allclose(
+                sb.compute_sobol_by_order(m, latent=r),
+                sb.compute_sobol_by_order(single), rtol=1e-12)
+            np.testing.assert_allclose(
+                sb.get_prediction_component(m, X=X, latent=r),
+                sb.get_prediction_component(single, X=X), rtol=1e-12)
+            # plotting path on the selected view
+            view = select_latent(m, r)
+            mu_v, var_v = plotting._component_posterior(
+                view, [0], [np.linspace(-1, 1, 5)])
+            mu_s, var_s2 = plotting._component_posterior(
+                single, [0], [np.linspace(-1, 1, 5)])
+            np.testing.assert_allclose(mu_v, mu_s, rtol=1e-12)
+            np.testing.assert_allclose(var_v, var_s2, rtol=1e-12)
+
+    # bounds + unspecified-latent behavior
+    m = SVGP.create(k, Gaussian.create(0.1), Z, num_latent=2)
+    with pytest.raises(ValueError, match="out of range"):
+        sb.compute_sobol_oak(m, latent=2)
+    with pytest.raises(NotImplementedError, match="latent"):
+        sb.compute_sobol_oak(m)
+
+
+def test_multi_output_gpr_sobol_by_latent(rng):
+    """Multi-output exact GPs (Y with R columns, shared kernel): latent=r
+    slices the output column, so each output gets its own decomposition —
+    outputs driven by different dims attribute mass to different dims."""
+    from oak_tpu.models import GPR
+
+    n = 64
+    X = rng.normal(size=(n, 2))
+    Y = np.stack([np.sin(2.0 * X[:, 0]),
+                  0.8 * X[:, 1] ** 2], axis=1)
+    k = OAKKernel.create(num_dims=2, max_interaction_depth=1)
+    m = GPR.create(X, Y, k, noise_variance=0.05)
+
+    _, v0 = sb.compute_sobol_oak(m, latent=0)
+    _, v1 = sb.compute_sobol_oak(m, latent=1)
+    # output 0 is a function of dim 0 only; output 1 of dim 1 only
+    assert v0[0] > 5 * v0[1]
+    assert v1[1] > 5 * v1[0]

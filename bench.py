@@ -160,11 +160,11 @@ def run_bench(args):
     backend = jax.default_backend()
     # CPU reference for the identical workload on this image's single core
     # (full audit in BASELINE.md "Measured (round 2, re-audited)"):
-    #   ELBO measured: 324-349 s/step WARM (compile excluded; 3 reps) — but a
-    #     profile shows ~300 s of that is an XLA-CPU fusion pathology (~100
-    #     layout-copy elementwise fusions at ~3 s each, 127x slower than the
-    #     same op isolated), NOT intrinsic math cost. The roofline for a
-    #     PERFECT 1-core f32 CPU implementation of this step is ~1.4 s
+    #   ELBO measured: 10.9 s/step WARM (round 5, after the inverse-GEMM
+    #     solve change; the earlier 324-349 s/step was an XLA-CPU fusion
+    #     pathology anchored on the wide triangular solve, ~100 layout-copy
+    #     fusions at ~3 s each, which tri_inv_lower removed). The roofline
+    #     for a PERFECT 1-core f32 CPU implementation of this step is ~1.4 s
     #     (3 exp sweeps at the measured 371 M exp/s + matmuls + elementwise),
     #     so vs_baseline is quoted against that 0.7 steps/s ceiling —
     #     conservative in our DISFAVOR by >200x vs the measured stand-in
@@ -172,7 +172,9 @@ def run_bench(args):
     #   full-depth Sobol: `python bench.py --cpu --sobol-naive` -> 1.541 s
     #     (reference-style per-component numpy loop, L matrices precomputed —
     #      conservative: the reference rebuilds L inside the loop)
-    #   for comparison, our own batched ladder on CPU: 0.935 s (--sobol-only)
+    #   for comparison, our own batched path on CPU: 2.7-3.0 s (--sobol-only;
+    #     0.935 s before the round-3 depth-3 einsum rework, which trades
+    #     FLOPs for MXU shape - faster on-chip, slower on one CPU core)
     BASELINE_STEPS_PER_SEC = 0.7  # roofline CEILING for a perfect 1-core CPU
     BASELINE_SOBOL_SECS = 1.541
 

@@ -172,9 +172,10 @@ def run_bench(args):
     #   full-depth Sobol: `python bench.py --cpu --sobol-naive` -> 1.541 s
     #     (reference-style per-component numpy loop, L matrices precomputed —
     #      conservative: the reference rebuilds L inside the loop)
-    #   for comparison, our own batched path on CPU: 2.7-3.0 s (--sobol-only;
-    #     0.935 s before the round-3 depth-3 einsum rework, which trades
-    #     FLOPs for MXU shape - faster on-chip, slower on one CPU core)
+    #   for comparison, our own batched path on CPU: 1.66 s (--sobol-only;
+    #     the depth-3 triples einsum is TPU-routed - it trades FLOPs for
+    #     MXU shape and is ~3x slower on one CPU core, so CPU keeps the
+    #     prefix ladder)
     BASELINE_STEPS_PER_SEC = 0.7  # roofline CEILING for a perfect 1-core CPU
     BASELINE_SOBOL_SECS = 1.541
 

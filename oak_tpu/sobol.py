@@ -464,12 +464,17 @@ def _ladder_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,
         vals[k] = ext[rows_j, lasts_j]
         if k < max_order:
             if (k == 2 and max_order == 3
-                    and D * D * X * itemsize <= _LADDER_BYTES_CAP):
+                    and D * D * X * itemsize <= _LADDER_BYTES_CAP
+                    and jax.default_backend() != "cpu"):
                 # depth-3 fast path: all triple quadratic forms as ONE
                 # einsum M3[r,l,d] = sum_x Q1[r] Lf[l] Lf[d] — no [C_2, N^2]
                 # prefix materialization and no row gathers (measured 3 ms vs
                 # 18 ms device time at D=32, N=512; over-computes the D^3/6
-                # redundancy but stays MXU-shaped)
+                # redundancy but stays MXU-shaped). TPU/accelerator only:
+                # on one XLA-CPU core the [D^2, N^2] temp + 2x FLOPs make it
+                # ~3x SLOWER than the prefix ladder (measured 2.7-3.0 s vs
+                # 0.935 s full Sobol at the bench config) — backend is
+                # static at trace time, so this is a free branch
                 import itertools as it
 
                 M3 = jnp.einsum("rx,lx,dx->rld", Q, Lf, Lf)

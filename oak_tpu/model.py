@@ -794,8 +794,13 @@ class oak_model:
         return None
 
     # ------------------------------------------------------------------ #
-    def get_sobol(self, likelihood_variance: bool = False) -> np.ndarray:
-        tuples, sobols = sobol_mod.compute_sobol_oak(self.m)
+    def get_sobol(self, likelihood_variance: bool = False,
+                  mesh=None) -> np.ndarray:
+        """Normalized Sobol index per component (model_utils.py:499-524).
+        ``mesh``: optional device mesh sharding the O(N^2) Sobol
+        intermediates (sobol.compute_sobol_oak) — for models whose [D, N, N]
+        L stack exceeds one chip's HBM."""
+        tuples, sobols = sobol_mod.compute_sobol_oak(self.m, mesh=mesh)
         lik_var = None
         if likelihood_variance and not isinstance(self.m, SVGP):
             lik_var = float(self.m.likelihood.variance.value)

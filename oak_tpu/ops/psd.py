@@ -87,6 +87,26 @@ def tri_inv_lower(L: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
 
 
+def chol_of_inv(P: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
+    """Lower-triangular T with T @ T.T = (P + jitter*I)^-1, in ONE Cholesky +
+    ONE triangular solve via the reversal identity: with J the exchange
+    (flip) matrix and Lr = chol(J P J),
+
+        P^-1 = J (Lr Lr^T)^-1 J = (J Lr^-T J)(J Lr^-1 J) = T T^T,
+
+    and J U J of an upper-triangular U is lower-triangular, so
+    T = flip2(tri_inv_lower(Lr).T) is a valid lower-triangular square root
+    of the inverse. TPU rationale: the direct route
+    chol(P) -> cho_solve(.., I) -> chol(P^-1) is THREE serial [M, M]
+    factorization/solve ops (none of which ride the MXU); this is two.
+    Used by the natural-gradient update (optim/natgrad.py), where the
+    precision-to-covariance round trip sits on the step's critical path."""
+    eye = jnp.eye(P.shape[-1], dtype=P.dtype)
+    Pr = (P + jitter * eye)[::-1, ::-1]
+    Lr = jnp.linalg.cholesky(Pr)
+    return tri_inv_lower(Lr).T[::-1, ::-1]
+
+
 def wide_rhs(n, m) -> bool:
     """True when an [m, m] triangular factor applied to an n-column RHS
     should take the explicit-inverse GEMM route (n >= m; see

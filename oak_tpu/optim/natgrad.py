@@ -125,15 +125,17 @@ def _apply_natural_step(m, g1, g2, gamma):
                          q_sqrt=m.q_sqrt.assign(jnp.sqrt(S_new)))
 
     # full q_sqrt: [R, M, M] lower-triangular
+    from ..ops.psd import chol_of_inv, tri_inv_lower
+
     Lq = jnp.tril(m.q_sqrt.value)
-    M_ = Lq.shape[-1]
-    eye = jnp.eye(M_, dtype=Lq.dtype)
 
     def per_latent(mu_r, Lq_r):
         # S^-1 directly from the stored factor: S = Lq Lq^T holds whatever
-        # the signs of Lq's diagonal, so the two triangular solves of
-        # cho_solve need no fresh Cholesky
-        Sinv = jax.scipy.linalg.cho_solve((Lq_r, True), eye)
+        # the signs of Lq's diagonal; the explicit triangular inverse turns
+        # the wide solve into one [M, M] solve + a GEMM (ops/psd.py
+        # tri_inv_lower — a TPU triangular solve cannot ride the MXU)
+        Linv = tri_inv_lower(Lq_r)
+        Sinv = Linv.T @ Linv
         return Sinv @ mu_r, -0.5 * Sinv
 
     theta1s, theta2s = jax.vmap(per_latent, in_axes=(1, 0))(q_mu, Lq)
@@ -141,12 +143,13 @@ def _apply_natural_step(m, g1, g2, gamma):
     t2 = theta2s - gamma * g2  # [R, M, M]
 
     def unmap_r(t1_r, t2_r, mu_old_r, Lq_old_r):
-        P = -(t2_r + t2_r.T)  # = S^-1, symmetrized
-        Lp = jnp.linalg.cholesky(P + _VAR_FLOOR * eye)
-        S_new = jax.scipy.linalg.cho_solve((Lp, True), eye)
-        S_new = 0.5 * (S_new + S_new.T)
-        m_new_r = S_new @ t1_r
-        Lq_new_r = jnp.linalg.cholesky(S_new + _VAR_FLOOR * eye)
+        P = -(t2_r + t2_r.T)  # = S_new^-1, symmetrized
+        # Lq_new Lq_new^T = P^-1 in one Cholesky + one triangular solve
+        # (chol_of_inv) instead of chol(P) -> cho_solve -> chol(S_new):
+        # these ops are serial [M, M] back-substitutions on the step's
+        # critical path (BASELINE.md: the natural-parameter algebra floor)
+        Lq_new_r = chol_of_inv(P, _VAR_FLOOR)
+        m_new_r = Lq_new_r @ (Lq_new_r.T @ t1_r)  # = S_new t1, two GEMVs
         # a non-conjugate overshoot makes theta2 indefinite -> NaNs from the
         # Cholesky; reject the whole latent's step rather than poison q
         bad = jnp.logical_not(jnp.all(jnp.isfinite(Lq_new_r))

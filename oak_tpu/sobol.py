@@ -411,6 +411,26 @@ def check_single_latent(model) -> None:
     resolve_latent(model, None)
 
 
+# --------------------------------------------------------------------------- #
+# Mesh sharding of the Sobol computation
+# --------------------------------------------------------------------------- #
+def _shard_hint(x: jnp.ndarray, mesh, axes: Tuple[Optional[int], ...]):
+    """with_sharding_constraint over the mesh's (single) axis, applied to the
+    array dimension named in ``axes`` (one entry per array dim; the non-None
+    entry is sharded). No-op when mesh is None — the hints cost nothing
+    single-device and let GSPMD partition every contraction over the data
+    axis when a mesh is supplied (the collectives are XLA-inserted psums of
+    the SMALL per-order outputs; the [D, N, N] L stack and the prefix
+    matrices stay sharded in place)."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    name = mesh.axis_names[0]
+    spec = PartitionSpec(*[name if a is not None else None for a in axes])
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 # Cap on the prefix-product matrix Q_k [C_k, N*N] kept live by the ladder;
 # above it the remaining orders fall back to a chunked gather-product map.
 # 6 GB covers depth-4 at D=32, M=512 in f32 (C_3 = 4,960 rows -> 5.2 GB, well
@@ -420,7 +440,7 @@ _LADDER_BYTES_CAP = 6 * 1024 ** 3
 
 
 def _ladder_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,
-                      max_order: int) -> dict:
+                      max_order: int, mesh=None) -> dict:
     """alpha^T (Hadamard-prod of L_d) alpha for EVERY combination of every
     order 1..max_order, batched.
 
@@ -444,10 +464,10 @@ def _ladder_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,
     if D * X * itemsize > _LADDER_BYTES_CAP:
         # even the order-1 prefix matrix Q_1 = [D, N^2] is too large (dense
         # large-N GPR): go straight to the memory-bounded chunked route
-        return _chunked_quadforms(Lstack, a, D, 1, max_order)
-    Lf = Lstack[:D].reshape(D, X)
-    A = (a[:, None] * a[None, :]).reshape(X)
-    Q = Lf * A[None, :]  # [D, X]
+        return _chunked_quadforms(Lstack, a, D, 1, max_order, mesh)
+    Lf = _shard_hint(Lstack[:D].reshape(D, X), mesh, (None, 0))
+    A = _shard_hint((a[:, None] * a[None, :]).reshape(X), mesh, (0,))
+    Q = _shard_hint(Lf * A[None, :], mesh, (None, 0))  # [D, X]
     vals = {1: jnp.sum(Q, axis=1)}
     prefixes = [(d,) for d in range(D)]
 
@@ -483,20 +503,22 @@ def _ladder_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,
                 break
             if len(new_prefixes) * X * itemsize > _LADDER_BYTES_CAP:
                 # remaining orders: chunked gather-product (memory-bounded)
-                vals.update(_chunked_quadforms(Lstack, a, D, k + 1, max_order))
+                vals.update(_chunked_quadforms(Lstack, a, D, k + 1, max_order,
+                                               mesh))
                 break
-            Q = Q[rows_j] * Lf[lasts_j]
+            Q = _shard_hint(Q[rows_j] * Lf[lasts_j], mesh, (None, 0))
             prefixes = new_prefixes
     return vals
 
 
 def _chunked_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,
-                       order_from: int, order_to: int) -> dict:
+                       order_from: int, order_to: int, mesh=None) -> dict:
     """Fallback for very large C_k: batched (vmapped-in-chunks) Hadamard
     products + quadratic forms, chunk size picked from the [B, N, N] buffer."""
     import itertools as it
 
     N = Lstack.shape[1]
+    Lstack = _shard_hint(Lstack, mesh, (None, 0, None))
     B = max(1, min(256, int(2 ** 27 // max(N * N, 1))))
     out = {}
     for k in range(order_from, order_to + 1):
@@ -515,11 +537,18 @@ def _chunked_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,
     return out
 
 
-def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...]) -> jnp.ndarray:
+def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...],
+                       mesh=None) -> jnp.ndarray:
     """All component Sobol values (reference component order, constant
     skipped), as one fused computation. Orders 1-2 use the factorized
     cancellation-free quadratic form when every dim factorizes; higher orders
-    and non-factorizable dims use the batched Hadamard ladder on the L stack."""
+    and non-factorizable dims use the batched Hadamard ladder on the L stack.
+
+    ``mesh`` (optional single-axis jax.sharding.Mesh) shards every O(N^2) /
+    O(N*Q) intermediate over the data axis — the per-component quadratic
+    forms all contract over it, so the only collectives are psums of the
+    tiny per-order value vectors. This is how full-Sobol scales past one
+    chip's HBM (the [D, N, N] L stack is the memory hog at large N)."""
     oak: OAKKernel = model.kernel
     X = jnp.asarray(_model_X(model))
     a = model.posterior_alpha()[:, 0]
@@ -540,7 +569,8 @@ def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...]) -> jnp.ndar
             return (jnp.pad(F, ((0, 0), (0, Qmax - q))), jnp.pad(w, (0, Qmax - q)))
 
         padded = [pad(F, w) for F, w in factors]
-        Fs = jnp.stack([p[0] for p in padded])  # [D, N, Qmax]
+        Fs = _shard_hint(jnp.stack([p[0] for p in padded]), mesh,
+                         (None, 0, None))  # [D, N, Qmax]
         Ws = jnp.stack([p[1] for p in padded])  # [D, Qmax]
 
         V = jnp.einsum("dnq,n->dq", Fs, a)
@@ -565,10 +595,10 @@ def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...]) -> jnp.ndar
         hadamard_idx = list(range(len(tuples)))
 
     if hadamard_idx:
-        Lstack = _dim_L_stack(oak, X)
+        Lstack = _shard_hint(_dim_L_stack(oak, X), mesh, (None, 0, None))
         P = max(len(tuples[i]) for i in hadamard_idx)
         min_order = min(len(tuples[i]) for i in hadamard_idx)
-        ladder = _ladder_quadforms(Lstack, a, D, P)
+        ladder = _ladder_quadforms(Lstack, a, D, P, mesh)
         # scatter each order's values into RH (hadamard tuple order) with one
         # gather per order, not one per component
         import itertools as it
@@ -614,7 +644,7 @@ def _sobol_values_impl(model, depth: int, routing: Tuple[bool, ...]) -> jnp.ndar
     return values * scales
 
 
-_sobol_values_jit = jax.jit(_sobol_values_impl, static_argnums=(1, 2))
+_sobol_values_jit = jax.jit(_sobol_values_impl, static_argnums=(1, 2, 3))
 
 
 def _check_depth_override(oak: OAKKernel, depth: Optional[int]) -> int:
@@ -661,7 +691,7 @@ def _check_measure_override(oak: OAKKernel, delta, mu) -> None:
 
 def compute_sobol_oak(model, delta=None, mu=None,
                       max_interaction_depth: Optional[int] = None,
-                      latent: Optional[int] = None
+                      latent: Optional[int] = None, mesh=None
                       ) -> Tuple[List[List[int]], np.ndarray]:
     """Sobol index of every additive component (skipping the constant), in the
     reference's component order (utils.py:338-435). Returns (tuples, values).
@@ -672,47 +702,52 @@ def compute_sobol_oak(model, delta=None, mu=None,
     override raises rather than silently computing under the wrong measure.
     ``latent`` selects one latent/output of a multi-latent model (the
     decomposition is per latent; omitting it on a multi-latent model
-    raises — see resolve_latent)."""
+    raises — see resolve_latent). ``mesh`` (single-axis jax.sharding.Mesh)
+    shards all O(N^2) intermediates over its devices — use when the [D, N, N]
+    L stack exceeds one chip's HBM (see _sobol_values_impl)."""
     oak: OAKKernel = model.kernel
     model = resolve_latent(model, latent)
     _check_measure_override(oak, delta, mu)
     depth = _check_depth_override(oak, max_interaction_depth)
     tuples = component_index_tuples(oak.num_dims, depth)[1:]
     routing = _factor_routing(oak)
-    values = _sobol_values_jit(model, depth, routing)
+    values = _sobol_values_jit(model, depth, routing, mesh)
     return tuples, np.asarray(values)
 
 
-def _sobol_by_order_impl(model, depth: int) -> jnp.ndarray:
+def _sobol_by_order_impl(model, depth: int, mesh=None) -> jnp.ndarray:
     oak: OAKKernel = model.kernel
     X = jnp.asarray(_model_X(model))
     a = model.posterior_alpha()[:, 0]
-    mats = _per_dim_batched(oak, X, compute_L_for_kernel)
+    mats = [_shard_hint(L, mesh, (0, None))
+            for L in _per_dim_batched(oak, X, compute_L_for_kernel)]
     e = newton_girard(mats, depth)[1:]  # orders 1..P
     orders = jnp.arange(1, depth + 1)
     scales = _order_scales(oak, orders, mats[0].dtype)
     return jnp.stack([a @ En @ a for En in e]) * scales
 
 
-_sobol_by_order_jit = jax.jit(_sobol_by_order_impl, static_argnums=(1,))
+_sobol_by_order_jit = jax.jit(_sobol_by_order_impl, static_argnums=(1, 2))
 
 
 def compute_sobol_by_order(model, delta=None, mu=None,
                            max_depth: Optional[int] = None,
-                           latent: Optional[int] = None) -> np.ndarray:
+                           latent: Optional[int] = None,
+                           mesh=None) -> np.ndarray:
     """Total (unnormalized) Sobol mass per interaction order 1..P in O(D·P)
     via Newton-Girard over the L matrices — no tuple enumeration. TPU-side
     replacement for the reference's post-hoc aggregation loops
     (uci_regression_train.py:157-160). NOTE: shares the Hadamard quadratic
     form's conditioning; prefer compute_sobol_oak sums for pathological
-    (near-noiseless, unbounded) fits."""
+    (near-noiseless, unbounded) fits. ``mesh`` shards the [N, N] L matrices
+    over the data axis (see compute_sobol_oak)."""
     model = resolve_latent(model, latent)
     _check_measure_override(model.kernel, delta, mu)
     depth = _check_depth_override(model.kernel, max_depth)
-    return np.asarray(_sobol_by_order_jit(model, depth))
+    return np.asarray(_sobol_by_order_jit(model, depth, mesh))
 
 
-def _prediction_component_impl(model, X, depth: int) -> jnp.ndarray:
+def _prediction_component_impl(model, X, depth: int, mesh=None) -> jnp.ndarray:
     from .kernels.oak_kernel import kernel_K
 
     oak: OAKKernel = model.kernel
@@ -734,7 +769,9 @@ def _prediction_component_impl(model, X, depth: int) -> jnp.ndarray:
         for j, i in enumerate(gidx):
             grams[i] = res[j]
     grams.append(jnp.ones_like(grams[0]))
-    G = jnp.stack(grams, axis=0)  # [D+1, N, M]
+    # mesh: shard the prediction-rows axis — each component mean's rows are
+    # independent, so there is no cross-device communication at all
+    G = _shard_hint(jnp.stack(grams, axis=0), mesh, (None, 0, None))
 
     D = oak.num_dims
     P = max(len(t) for t in tuples)
@@ -763,23 +800,26 @@ def _prediction_component_impl(model, X, depth: int) -> jnp.ndarray:
 
 
 _prediction_component_jit = jax.jit(_prediction_component_impl,
-                                    static_argnums=(2,))
+                                    static_argnums=(2, 3))
 
 
 def get_prediction_component(model, alpha=None, X=None,
                              max_interaction_depth: Optional[int] = None,
-                             latent: Optional[int] = None) -> np.ndarray:
+                             latent: Optional[int] = None,
+                             mesh=None) -> np.ndarray:
     """Per-component predictive means, [C, N] in the reference's component
     order (utils.py:491-530). Sums (plus the constant term) to the full
     predictive mean. ``alpha`` is accepted for reference API compat but is
     recomputed from the model posterior. ``latent`` selects one
-    latent/output of a multi-latent model."""
+    latent/output of a multi-latent model. ``mesh`` shards the prediction
+    rows over its devices (communication-free)."""
     oak: OAKKernel = model.kernel
     model = resolve_latent(model, latent)
     if X is None:
         X = model.data[0]
     depth = _check_depth_override(oak, max_interaction_depth)
-    return np.asarray(_prediction_component_jit(model, jnp.asarray(X), depth))
+    return np.asarray(_prediction_component_jit(model, jnp.asarray(X), depth,
+                                                mesh))
 
 
 def normalize_sobol(sobol: np.ndarray, likelihood_variance: Optional[float] = None

@@ -25,6 +25,26 @@ def test_safe_cholesky_escalates_jitter(rng):
     np.testing.assert_allclose(recon, np.asarray(K), atol=float(j) * 20 + 1e-8)
 
 
+def test_chol_of_inv_matches_direct_route(rng):
+    """chol_of_inv(P) must be a lower-triangular square root of P^-1 — the
+    reversal identity replaces chol -> cho_solve -> chol (three serial [M, M]
+    ops) with one Cholesky + one triangular solve (natgrad critical path)."""
+    from oak_tpu.ops.psd import chol_of_inv
+
+    A = rng.normal(size=(24, 24))
+    P = jnp.asarray(A @ A.T + 24 * np.eye(24))
+    T = np.asarray(chol_of_inv(P))
+    assert np.allclose(T, np.tril(T)), "not lower-triangular"
+    assert (np.diag(T) > 0).all()
+    np.testing.assert_allclose(T @ T.T, np.linalg.inv(np.asarray(P)),
+                               rtol=1e-8, atol=1e-10)
+    # jitter lands on P, not on the inverse
+    Tj = np.asarray(chol_of_inv(P, 0.5))
+    np.testing.assert_allclose(
+        Tj @ Tj.T, np.linalg.inv(np.asarray(P) + 0.5 * np.eye(24)),
+        rtol=1e-8, atol=1e-10)
+
+
 def test_cholesky_health_report(rng):
     A = rng.normal(size=(6, 6))
     K = A @ A.T + 6 * np.eye(6)

@@ -121,6 +121,68 @@ def test_minibatch_mesh_batch_divisibility(rng):
         oak.optimise_minibatch(batch_size=20, steps=1, mesh=mesh)
 
 
+def test_mesh_sharded_sobol_matches_single_device(rng):
+    """compute_sobol_oak / by_order / prediction components under a mesh ==
+    single-device values: the sharding hints only partition the O(N^2)
+    intermediates (XLA inserts psums of the tiny per-order outputs), they
+    must not change any value beyond reduction order."""
+    from oak_tpu.models import GPR
+    from oak_tpu.sobol import (compute_sobol_by_order, compute_sobol_oak,
+                               get_prediction_component)
+
+    n, d = 64, 4
+    X = rng.normal(size=(n, d))
+    y = (np.sin(X[:, 0]) + X[:, 1] * X[:, 2]).reshape(-1, 1)
+    k = OAKKernel.create(num_dims=d, max_interaction_depth=3)
+    model = GPR.create(X, y, k, noise_variance=0.1)
+    mesh = make_mesh(8)
+
+    tuples0, vals0 = compute_sobol_oak(model)
+    tuples1, vals1 = compute_sobol_oak(model, mesh=mesh)
+    assert tuples0 == tuples1
+    np.testing.assert_allclose(vals1, vals0, rtol=1e-9, atol=1e-12)
+
+    by0 = compute_sobol_by_order(model)
+    by1 = compute_sobol_by_order(model, mesh=mesh)
+    np.testing.assert_allclose(by1, by0, rtol=1e-9, atol=1e-12)
+
+    pc0 = get_prediction_component(model)
+    pc1 = get_prediction_component(model, mesh=mesh)
+    np.testing.assert_allclose(pc1, pc0, rtol=1e-9, atol=1e-12)
+
+
+def test_mesh_sharded_sobol_oak_model_entry(rng):
+    """oak_model.get_sobol(mesh=) end-to-end parity with the unsharded call,
+    including the forced chunked-ladder fallback route."""
+    from oak_tpu.model import oak_model
+    from oak_tpu import sobol as sobol_mod
+
+    n, d = 96, 4
+    X = rng.normal(size=(n, d))
+    y = np.sin(X[:, 0]) + X[:, 1]
+    oak = oak_model(max_interaction_depth=2, use_normalising_flow=False)
+    oak.fit(X, y, optimise=False)
+    mesh = make_mesh(8)
+    s0 = oak.get_sobol()
+    s1 = oak.get_sobol(mesh=mesh)
+    np.testing.assert_allclose(s1, s0, rtol=1e-9, atol=1e-12)
+
+    # chunked fallback under the mesh: shrink the ladder cap so every order
+    # takes _chunked_quadforms. Fresh model SHAPE (different N) so the jitted
+    # Sobol program retraces and actually sees the patched cap.
+    X2 = rng.normal(size=(80, d))
+    oak2 = oak_model(max_interaction_depth=2, use_normalising_flow=False)
+    oak2.fit(X2, np.sin(X2[:, 0]) + X2[:, 1], optimise=False)
+    _, v_full = sobol_mod.compute_sobol_oak(oak2.m)
+    old = sobol_mod._LADDER_BYTES_CAP
+    sobol_mod._LADDER_BYTES_CAP = 1
+    try:
+        _, v_chunk = sobol_mod.compute_sobol_oak(oak2.m, mesh=mesh)
+    finally:
+        sobol_mod._LADDER_BYTES_CAP = old
+    np.testing.assert_allclose(v_chunk, v_full, rtol=1e-9, atol=1e-12)
+
+
 def test_dp_natgrad_matches_single_device(rng):
     """Sharded natgrad+Adam step == single-device fit_natgrad_adam step
     (same batch, same init) up to floating-point reduction order."""

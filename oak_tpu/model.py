@@ -298,7 +298,7 @@ class oak_model:
         return lambda m: m.training_loss()
 
     def optimise(self, max_iters: int = 1000, compile: bool = True,
-                 restarts: int = 0, mesh=None,
+                 restarts: int = 0, mesh=None, data_mesh=None,
                  checkpoint_path=None, checkpoint_every: int = 100):
         """``compile`` mirrors the reference's Scipy(..., compile=) tf.function
         toggle (model_utils.py:419-425): with optimizer='scipy' it switches
@@ -320,10 +320,26 @@ class oak_model:
         iterations/steps and a killed run resumes to the same trajectory.
         Not supported with optimizer='scipy' (its optimizer state lives in
         scipy). The reference has no training-state persistence
-        (model_utils.py:44-64 saves final hyperparameters only)."""
+        (model_utils.py:44-64 saves final hyperparameters only).
+
+        ``data_mesh``: shard THE DATA AXIS of one full-batch L-BFGS fit over
+        a device mesh (parallel.fit_lbfgs_sharded) — params replicated,
+        every loss/grad's [*, N] grams and data sums computed shard-local
+        with XLA-inserted psums. For fits too large for one chip; distinct
+        from ``mesh`` (which shards the RESTARTS axis of a multistart)."""
         t0 = time.time()
         self.alpha = None
         loss = self._loss_fn()
+        if data_mesh is not None:
+            if self.optimizer != "lbfgs":
+                raise ValueError("data_mesh requires optimizer='lbfgs' "
+                                 "(use optimise_minibatch(mesh=) for "
+                                 "data-parallel adam/natgrad)")
+            if restarts > 0 or checkpoint_path is not None:
+                raise ValueError("data_mesh is a single-fit path: combine "
+                                 "with restarts= or checkpoint_path= is not "
+                                 "supported (use mesh= for sharded "
+                                 "restarts)")
         if restarts > 0 and self.optimizer == "scipy":
             # silently running a single start while the caller believes K
             # restarts ran would misattribute the result
@@ -400,6 +416,29 @@ class oak_model:
                     include_init=True, mesh=mesh,
                     checkpoint_path=checkpoint_path,
                     accept_fn=lambda m: not bad_fit(m))
+            elif data_mesh is not None:
+                from .parallel import (data_parallel_elbo_step,
+                                       fit_lbfgs_sharded, shard_batch)
+
+                if is_svgp:
+                    Xj, Yj = map(jnp.asarray, self._train_data)
+                    if warm_steps:
+                        # the same Adam warmup as the single-device path,
+                        # run data-parallel (full batch sharded each step —
+                        # identical trajectory up to reduction order)
+                        step, (vec, opt_state, unflatten) = \
+                            data_parallel_elbo_step(self.m, data_mesh,
+                                                    learning_rate=2e-2)
+                        Xs, Ys = shard_batch(data_mesh, Xj, Yj)
+                        import jax as _jax
+                        for _ in range(warm_steps):
+                            vec, opt_state, _w = step(vec, opt_state, Xs, Ys)
+                        self.m = unflatten(jnp.asarray(_jax.device_get(vec)))
+                    res = fit_lbfgs_sharded(self.m, data_mesh, X=Xj, Y=Yj,
+                                            max_iters=max_iters)
+                else:
+                    res = fit_lbfgs_sharded(self.m, data_mesh,
+                                            max_iters=max_iters)
             else:
                 if is_svgp:
                     self.m = fit_adam(self.m, loss, steps=warm_steps,

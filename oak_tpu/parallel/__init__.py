@@ -1,6 +1,7 @@
 from .sharding import (
     data_parallel_elbo_step,
     data_parallel_natgrad_step,
+    fit_lbfgs_sharded,
     make_mesh,
     replicate,
     shard_batch,
@@ -8,4 +9,5 @@ from .sharding import (
 )
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_elbo_step",
-           "data_parallel_natgrad_step", "sharded_predict_f"]
+           "data_parallel_natgrad_step", "sharded_predict_f",
+           "fit_lbfgs_sharded"]

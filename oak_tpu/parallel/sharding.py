@@ -118,6 +118,83 @@ def data_parallel_natgrad_step(model, mesh: Mesh, gamma: float = 0.2,
     return step, (vec0, opt_state, unflatten)
 
 
+def fit_lbfgs_sharded(model, mesh: Mesh, X=None, Y=None,
+                      max_iters: int = 500, tol: float = 1e-8,
+                      memory_size: int = 30, axis: str = DATA_AXIS):
+    """FULL-BATCH L-BFGS with the data axis sharded over the mesh — one
+    large fit spread across chips, complementing the minibatch-DP path
+    (data_parallel_elbo_step) and the restarts-sharded multistart.
+
+    Params stay replicated; every loss/grad evaluation inside the on-device
+    while_loop computes its [*, N] grams and data-sum terms shard-local and
+    XLA inserts the psums. The data MUST enter the jitted program as
+    arguments (not closure constants): jit hoists closed-over arrays as
+    replicated constants, silently discarding their sharding — measured on
+    the 8-device CPU mesh, the closure form compiles with zero sharding
+    annotations. Hence this wrapper rather than
+    ``fit_lbfgs(model_with_sharded_leaves, ...)``.
+
+    SVGP: pass (X, Y) explicitly (same contract as training_loss).
+    GPR/SGPR: data is taken from the model's own X/Y leaves; the unflatten
+    template carries EMPTY [0, D] stand-ins so the real arrays are never
+    baked into the executable as replicated constants. Note GPR's [N, N]
+    Cholesky is inherently replicated (XLA all-gathers the sharded gram
+    rows first) — the sharding pays off for the gram/data terms only;
+    SVGP/SGPR shard end-to-end except the [M, M] factorizations.
+    """
+    from ..optim.fit import FitResult, lbfgs_loop
+
+    is_external_data = X is not None
+    n_data = (jnp.asarray(X).shape[0] if is_external_data
+              else model.X.shape[0])
+    n_dev = mesh.shape[axis]
+    if n_data % n_dev != 0:
+        raise ValueError(f"N={n_data} must be divisible by the mesh's "
+                         f"{n_dev} devices (same contract as the other "
+                         "data-parallel paths); trim or pad the data")
+    if is_external_data:
+        Xs, Ys = shard_batch(mesh, X, Y, axis=axis)
+        if Ys.ndim == 1:
+            Ys = Ys[:, None]
+        template = model
+    else:
+        if not (hasattr(model, "X") and hasattr(model, "Y")):
+            raise ValueError("model carries no data leaves; pass X= and Y= "
+                             "explicitly (SVGP contract)")
+        Xs, Ys = shard_batch(mesh, model.X, model.Y, axis=axis)
+        template = model.replace(
+            X=jnp.zeros((0,) + model.X.shape[1:], model.X.dtype),
+            Y=jnp.zeros((0,) + model.Y.shape[1:], model.Y.dtype))
+
+    vec0, unflatten = flatten_trainable(template)
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+
+    @partial(jax.jit, in_shardings=(repl, shard, shard))
+    def run(vec, Xd, Yd):
+        def loss_vec(v):
+            m = unflatten(v)
+            if is_external_data:
+                return m.training_loss(Xd, Yd)
+            return m.replace(X=Xd, Y=Yd).training_loss()
+
+        return lbfgs_loop(loss_vec, max_iters, tol, memory_size)(vec)
+
+    vec, value, grad, iters = run(jax.device_put(vec0, repl), Xs, Ys)
+    fitted = unflatten(jnp.asarray(jax.device_get(vec)))
+    if not is_external_data:
+        fitted = fitted.replace(X=model.X, Y=model.Y)
+    gnorm = float(jnp.sqrt(jnp.sum(jnp.asarray(jax.device_get(grad)) ** 2)))
+    iters = int(jax.device_get(iters))
+    converged = gnorm <= tol
+    msg = (f"gradient norm {gnorm:.3e} <= tol after {iters} iterations"
+           if converged else
+           f"stopped at max_iters={max_iters} with gradient norm {gnorm:.3e}")
+    return FitResult(model=fitted, fun=float(jax.device_get(value)),
+                     num_iters=iters, success=converged, message=msg,
+                     grad_norm=gnorm)
+
+
 def sharded_predict_f(model, mesh: Mesh, axis: str = DATA_AXIS):
     """Data-parallel predictive posterior: params replicated, test inputs
     sharded over the data axis, outputs sharded the same way. Each shard's

@@ -183,6 +183,86 @@ def test_mesh_sharded_sobol_oak_model_entry(rng):
     np.testing.assert_allclose(v_chunk, v_full, rtol=1e-9, atol=1e-12)
 
 
+def test_data_sharded_lbfgs_matches_single_device(rng):
+    """fit_lbfgs_sharded (full-batch L-BFGS with the DATA axis sharded over
+    the mesh) follows the single-device fit_lbfgs trajectory: same math,
+    shard-local grams + XLA-inserted psums (f64: reduction-order drift only)."""
+    from oak_tpu.models import SGPR
+    from oak_tpu.optim.fit import fit_lbfgs
+    from oak_tpu.parallel import fit_lbfgs_sharded
+    from oak_tpu.params import flatten_trainable
+
+    n, d, m = 64, 3, 8
+    X = rng.normal(size=(n, d))
+    y = (np.sin(X[:, 0]) + X[:, 1]).reshape(-1, 1)
+    k = OAKKernel.create(num_dims=d, max_interaction_depth=2)
+    model = SGPR.create(X, y, k, Z=X[:m].copy(), noise_variance=0.1)
+    mesh = make_mesh(8)
+
+    res_s = fit_lbfgs_sharded(model, mesh, max_iters=20)
+    res_0 = fit_lbfgs(model, lambda mm: mm.training_loss(), max_iters=20)
+    # the psum's reduction order differs from the single-device sum and the
+    # drift compounds through 20 linesearch iterations — f64 keeps it ~1e-8
+    np.testing.assert_allclose(res_s.fun, res_0.fun, rtol=1e-6)
+    v_s, _ = flatten_trainable(res_s.model)
+    v_0, _ = flatten_trainable(res_0.model)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_0),
+                               rtol=1e-4, atol=1e-6)
+    # the fitted model keeps its ORIGINAL (unsharded) data leaves
+    assert res_s.model.X.shape == (n, d)
+
+    # SVGP external-data contract
+    sv_model, Xj, Yj = _setup(rng, n=64, d=3, m=8)
+    rs = fit_lbfgs_sharded(sv_model, mesh, X=Xj, Y=Yj, max_iters=10)
+    r0 = fit_lbfgs(sv_model, lambda mm: mm.training_loss(Xj, Yj),
+                   max_iters=10)
+    np.testing.assert_allclose(rs.fun, r0.fun, rtol=1e-8)
+
+
+def test_data_sharded_lbfgs_validation(rng):
+    from oak_tpu.models import SGPR
+    from oak_tpu.parallel import fit_lbfgs_sharded
+
+    X = rng.normal(size=(60, 2))  # 60 not divisible by 8
+    y = X[:, :1]
+    k = OAKKernel.create(num_dims=2, max_interaction_depth=1)
+    model = SGPR.create(X, y, k, Z=X[:4].copy(), noise_variance=0.1)
+    with pytest.raises(ValueError, match="divisible"):
+        fit_lbfgs_sharded(model, make_mesh(8), max_iters=1)
+
+
+def test_oak_model_optimise_data_mesh(rng):
+    """oak_model.optimise(data_mesh=) end-to-end: the data-sharded fit lands
+    within trajectory-drift distance of the single-device fit, and invalid
+    combinations raise."""
+    from oak_tpu.model import oak_model
+
+    n, d = 64, 3
+    X = rng.normal(size=(n, d))
+    y = np.sin(X[:, 0]) + 0.5 * X[:, 1]
+    mesh = make_mesh(8)
+
+    def build():
+        oak = oak_model(max_interaction_depth=2, use_normalising_flow=False)
+        oak.fit(X, y, optimise=False)
+        return oak
+
+    oak_s = build()
+    res_s = oak_s.optimise(max_iters=25, data_mesh=mesh)
+    oak_0 = build()
+    res_0 = oak_0.optimise(max_iters=25)
+    np.testing.assert_allclose(res_s.fun, res_0.fun, rtol=1e-6)
+
+    oak_bad = build()
+    with pytest.raises(ValueError, match="single-fit"):
+        oak_bad.optimise(restarts=2, data_mesh=mesh)
+    with pytest.raises(ValueError, match="single-fit"):
+        oak_bad.optimise(checkpoint_path="/tmp/x.npz", data_mesh=mesh)
+    oak_bad.optimizer = "adam"
+    with pytest.raises(ValueError, match="lbfgs"):
+        oak_bad.optimise(data_mesh=mesh)
+
+
 def test_dp_natgrad_matches_single_device(rng):
     """Sharded natgrad+Adam step == single-device fit_natgrad_adam step
     (same batch, same init) up to floating-point reduction order."""

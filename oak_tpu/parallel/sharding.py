@@ -145,6 +145,10 @@ def fit_lbfgs_sharded(model, mesh: Mesh, X=None, Y=None,
     from ..optim.fit import FitResult, lbfgs_loop
 
     is_external_data = X is not None
+    if not is_external_data and not (hasattr(model, "X")
+                                     and hasattr(model, "Y")):
+        raise ValueError("model carries no data leaves; pass X= and Y= "
+                         "explicitly (SVGP contract)")
     n_data = (jnp.asarray(X).shape[0] if is_external_data
               else model.X.shape[0])
     n_dev = mesh.shape[axis]
@@ -158,9 +162,6 @@ def fit_lbfgs_sharded(model, mesh: Mesh, X=None, Y=None,
             Ys = Ys[:, None]
         template = model
     else:
-        if not (hasattr(model, "X") and hasattr(model, "Y")):
-            raise ValueError("model carries no data leaves; pass X= and Y= "
-                             "explicitly (SVGP contract)")
         Xs, Ys = shard_batch(mesh, model.X, model.Y, axis=axis)
         template = model.replace(
             X=jnp.zeros((0,) + model.X.shape[1:], model.X.dtype),

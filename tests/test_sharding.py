@@ -230,6 +230,16 @@ def test_data_sharded_lbfgs_validation(rng):
     with pytest.raises(ValueError, match="divisible"):
         fit_lbfgs_sharded(model, make_mesh(8), max_iters=1)
 
+    # a model without data leaves (SVGP) must get the clean contract error,
+    # not an AttributeError from the N-divisibility probe
+    from oak_tpu.models import SVGP
+
+    from oak_tpu.models.likelihoods import Gaussian
+
+    sv = SVGP.create(k, Gaussian.create(0.1), Z=X[:4].copy(), num_data=64)
+    with pytest.raises(ValueError, match="pass X= and Y="):
+        fit_lbfgs_sharded(sv, make_mesh(8), max_iters=1)
+
 
 def test_oak_model_optimise_data_mesh(rng):
     """oak_model.optimise(data_mesh=) end-to-end: the data-sharded fit lands

@@ -326,7 +326,11 @@ class oak_model:
         a device mesh (parallel.fit_lbfgs_sharded) — params replicated,
         every loss/grad's [*, N] grams and data sums computed shard-local
         with XLA-inserted psums. For fits too large for one chip; distinct
-        from ``mesh`` (which shards the RESTARTS axis of a multistart)."""
+        from ``mesh`` (which shards the RESTARTS axis of a multistart).
+        Combined with ``restarts > 0``, ``data_mesh`` must be a 2-D mesh
+        with ('restart', 'data')-style axes: the restarts shard over one
+        axis and each fit's data over the other
+        (parallel.fit_lbfgs_multistart_sharded)."""
         t0 = time.time()
         self.alpha = None
         loss = self._loss_fn()
@@ -335,11 +339,19 @@ class oak_model:
                 raise ValueError("data_mesh requires optimizer='lbfgs' "
                                  "(use optimise_minibatch(mesh=) for "
                                  "data-parallel adam/natgrad)")
-            if restarts > 0 or checkpoint_path is not None:
-                raise ValueError("data_mesh is a single-fit path: combine "
-                                 "with restarts= or checkpoint_path= is not "
-                                 "supported (use mesh= for sharded "
-                                 "restarts)")
+            if checkpoint_path is not None:
+                raise ValueError("data_mesh does not support "
+                                 "checkpoint_path= (use the single-device "
+                                 "or mesh= multistart paths for resumable "
+                                 "fits)")
+            if restarts > 0 and ("data" not in data_mesh.shape
+                                 or len(data_mesh.shape) != 2):
+                raise ValueError(
+                    "restarts with data_mesh need a 2-D mesh with a 'data' "
+                    "axis plus a restarts axis, e.g. Mesh(devices.reshape"
+                    "(K, N//K), ('restart', 'data')) — the restarts shard "
+                    "over one axis and each fit's data over the other "
+                    f"(got axes {list(data_mesh.shape.keys())})")
         if restarts > 0 and self.optimizer == "scipy":
             # silently running a single start while the caller believes K
             # restarts ran would misattribute the result
@@ -409,7 +421,21 @@ class oak_model:
                 return (self._degenerate_noise_fit(m)
                         or self._pathological_fit(m, fun))
 
-            if restarts > 0:
+            if restarts > 0 and data_mesh is not None:
+                # 2-D composition: restarts sharded over one mesh axis,
+                # each fit's data axis over the other
+                from .parallel import fit_lbfgs_multistart_sharded
+
+                if is_svgp:
+                    Xj, Yj = map(jnp.asarray, self._train_data)
+                else:
+                    Xj = Yj = None
+                res = fit_lbfgs_multistart_sharded(
+                    init, data_mesh, X=Xj, Y=Yj, n_starts=restarts,
+                    jitter=0.3, seed=0, max_iters=max_iters,
+                    warm_adam_steps=warm_steps, include_init=True,
+                    accept_fn=lambda m: not bad_fit(m))
+            elif restarts > 0:
                 res = fit_lbfgs_multistart(
                     init, loss, n_starts=restarts, jitter=0.3, seed=0,
                     max_iters=max_iters, warm_adam_steps=warm_steps,

@@ -196,6 +196,161 @@ def fit_lbfgs_sharded(model, mesh: Mesh, X=None, Y=None,
                      grad_norm=gnorm)
 
 
+RESTART_AXIS = "restart"
+
+
+def fit_lbfgs_multistart_sharded(model, mesh: Mesh, X=None, Y=None,
+                                 n_starts: int = 4, jitter: float = 0.3,
+                                 seed: int = 0, max_iters: int = 500,
+                                 tol: float = 1e-8, memory_size: int = 30,
+                                 warm_adam_steps: int = 0,
+                                 warm_lr: float = 2e-2,
+                                 include_init: bool = True,
+                                 accept_fn=None, chunk_iters=None,
+                                 axis: str = DATA_AXIS):
+    """Multistart L-BFGS on a 2-D mesh: the RESTARTS axis sharded over one
+    mesh axis and each fit's DATA axis sharded over the other — composing
+    the two previously mutually-exclusive parallel modes
+    (``optim.fit_lbfgs_multistart(mesh=)`` restarts-only,
+    ``fit_lbfgs_sharded`` data-only). For fits that are both multimodal
+    (need K jittered starts, model.py's Gamma-prior trap) and too large for
+    one chip's HBM.
+
+    ``mesh`` must have exactly two axes, one named ``axis`` ("data"); the
+    OTHER axis shards the restarts. Each [K/dev_r] lane group computes its
+    shard-local [*, N/dev_d] grams; XLA inserts the data-axis psums inside
+    every vmapped loss/grad evaluation and nothing couples the lanes (the
+    final argmin is host-side). Same trajectory as the unsharded multistart
+    up to reduction order (tested on the 8-device CPU mesh).
+
+    Data follows the ``fit_lbfgs_sharded`` contract: SVGP passes (X, Y)
+    explicitly; GPR/SGPR take data from their own leaves (unflattened
+    through an EMPTY [0, D] template so the arrays enter the jitted
+    programs as sharded *arguments*, never baked in as replicated
+    constants). Checkpointing is not supported on this path — use the 1-D
+    variants for resumable fits."""
+    from ..optim.fit import FitResult, lbfgs_parts
+    from ..optim.multistart import CHUNK_ITERS, _make_starts, _pick_best
+
+    axes = list(mesh.shape.keys())
+    if len(axes) != 2 or axis not in axes:
+        raise ValueError(
+            f"fit_lbfgs_multistart_sharded needs a 2-D mesh with a "
+            f"'{axis}' axis plus a restarts axis (got axes {axes}); use "
+            "optim.fit_lbfgs_multistart(mesh=) for restarts-only or "
+            "fit_lbfgs_sharded for data-only sharding")
+    restart_axis = axes[0] if axes[1] == axis else axes[1]
+    n_lane_dev = mesh.shape[restart_axis]
+    if n_starts % n_lane_dev:
+        raise ValueError(f"n_starts={n_starts} must be divisible by the "
+                         f"mesh's '{restart_axis}' axis size {n_lane_dev}")
+
+    is_external_data = X is not None
+    if not is_external_data and not (hasattr(model, "X")
+                                     and hasattr(model, "Y")):
+        raise ValueError("model carries no data leaves; pass X= and Y= "
+                         "explicitly (SVGP contract)")
+    n_data = (jnp.asarray(X).shape[0] if is_external_data
+              else model.X.shape[0])
+    if n_data % mesh.shape[axis]:
+        raise ValueError(f"N={n_data} must be divisible by the mesh's "
+                         f"'{axis}' axis size {mesh.shape[axis]}")
+
+    if is_external_data:
+        Xs, Ys = shard_batch(mesh, X, Y, axis=axis)
+        if Ys.ndim == 1:
+            Ys = Ys[:, None]
+        template = model
+    else:
+        Xs, Ys = shard_batch(mesh, model.X, model.Y, axis=axis)
+        template = model.replace(
+            X=jnp.zeros((0,) + model.X.shape[1:], model.X.dtype),
+            Y=jnp.zeros((0,) + model.Y.shape[1:], model.Y.dtype))
+
+    vec0, unflatten = flatten_trainable(template)
+    starts = jax.device_put(
+        _make_starts(vec0, n_starts, jitter, seed, include_init),
+        NamedSharding(mesh, P(restart_axis)))
+
+    def make_loss(Xd, Yd):
+        def loss_vec(v):
+            m = unflatten(v)
+            if is_external_data:
+                return m.training_loss(Xd, Yd)
+            return m.replace(X=Xd, Y=Yd).training_loss()
+        return loss_vec
+
+    @jax.jit
+    def prepare(starts, Xd, Yd):
+        loss_vec = make_loss(Xd, Yd)
+        init, _, _ = lbfgs_parts(loss_vec, tol, memory_size)
+        if warm_adam_steps > 0:
+            wopt = optax.adam(warm_lr)
+
+            def one_step(carry, _):
+                vec, st = carry
+                g = jax.vmap(jax.grad(loss_vec))(vec)
+                g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
+                up, st = wopt.update(g, st)
+                return (optax.apply_updates(vec, up), st), None
+
+            (starts, _), _ = jax.lax.scan(
+                one_step, (starts, wopt.init(starts)), None,
+                length=warm_adam_steps)
+        return starts, jax.vmap(init)(starts), jnp.zeros((n_starts,),
+                                                         jnp.int32)
+
+    @jax.jit
+    def run_chunk(vecs, states, its, limit, Xd, Yd):
+        _, run_range, _ = lbfgs_parts(make_loss(Xd, Yd), tol, memory_size)
+        return jax.vmap(run_range, in_axes=(0, 0, 0, None))(
+            vecs, states, its, limit)
+
+    @jax.jit
+    def finalize(states):
+        # stats reads (value, grad) out of the L-BFGS state — data-free
+        _, _, stats = lbfgs_parts(lambda v: jnp.zeros(()), tol, memory_size)
+        values, grads = jax.vmap(stats)(states)
+        values = jnp.where(jnp.isfinite(values), values, jnp.inf)
+        return values, jnp.sqrt(jnp.sum(grads * grads, axis=-1))
+
+    chunk = chunk_iters or CHUNK_ITERS
+    vecs, states, its = prepare(starts, Xs, Ys)
+    limit = 0
+    while limit < max_iters:
+        limit = min(limit + chunk, max_iters)
+        vecs, states, its = run_chunk(vecs, states, its, limit, Xs, Ys)
+        if not (np.asarray(jax.device_get(its)) >= limit).any():
+            break
+
+    values, gnorms = finalize(states)
+    vecs, values, gnorms, iters = jax.device_get((vecs, values, gnorms, its))
+
+    if not np.isfinite(values).any():
+        return FitResult(model=model, fun=float("inf"), num_iters=0,
+                         success=False,
+                         message=f"all {n_starts} parallel restarts diverged")
+
+    def accept_wrapped(m):
+        if not is_external_data:
+            m = m.replace(X=model.X, Y=model.Y)
+        return accept_fn(m)
+
+    best = _pick_best(vecs, values, unflatten, vec0.dtype,
+                      accept_wrapped if accept_fn is not None else None)
+    fitted = unflatten(jnp.asarray(vecs[best], vec0.dtype))
+    if not is_external_data:
+        fitted = fitted.replace(X=model.X, Y=model.Y)
+    gnorm = float(gnorms[best])
+    converged = bool(np.isfinite(values[best])) and gnorm <= tol
+    msg = (f"best of {n_starts} restarts on a "
+           f"{n_lane_dev}x{mesh.shape[axis]} (restart x data) mesh (losses: "
+           + ", ".join(f"{v:.4g}" for v in np.asarray(values)) + ")")
+    return FitResult(model=fitted, fun=float(values[best]),
+                     num_iters=int(iters[best]), success=converged,
+                     message=msg, grad_norm=gnorm)
+
+
 def sharded_predict_f(model, mesh: Mesh, axis: str = DATA_AXIS):
     """Data-parallel predictive posterior: params replicated, test inputs
     sharded over the data axis, outputs sharded the same way. Each shard's

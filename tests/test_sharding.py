@@ -264,9 +264,10 @@ def test_oak_model_optimise_data_mesh(rng):
     np.testing.assert_allclose(res_s.fun, res_0.fun, rtol=1e-6)
 
     oak_bad = build()
-    with pytest.raises(ValueError, match="single-fit"):
+    with pytest.raises(ValueError, match="2-D mesh"):
+        # restarts with a 1-D data_mesh: needs the (restart, data) mesh
         oak_bad.optimise(restarts=2, data_mesh=mesh)
-    with pytest.raises(ValueError, match="single-fit"):
+    with pytest.raises(ValueError, match="checkpoint_path"):
         oak_bad.optimise(checkpoint_path="/tmp/x.npz", data_mesh=mesh)
     oak_bad.optimizer = "adam"
     with pytest.raises(ValueError, match="lbfgs"):
@@ -300,3 +301,92 @@ def test_dp_natgrad_matches_single_device(rng):
     v_single, _ = flatten_trainable(res.model)
     np.testing.assert_allclose(np.asarray(jax.device_get(vec1)),
                                np.asarray(v_single), rtol=1e-8, atol=1e-10)
+
+
+def _mesh_2d(kr=2, kd=4):
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(jax.devices()).reshape(kr, kd),
+                ("restart", "data"))
+
+
+def test_multistart_2d_mesh_matches_unsharded(rng):
+    """fit_lbfgs_multistart_sharded on a (restart x data) 2-D mesh follows
+    the unsharded fit_lbfgs_multistart trajectory: identical starts (same
+    seed), same chunking, shard-local grams with XLA-inserted data-axis
+    psums (f64: reduction-order drift only)."""
+    from oak_tpu.models import SGPR
+    from oak_tpu.optim import fit_lbfgs_multistart
+    from oak_tpu.parallel import fit_lbfgs_multistart_sharded
+
+    n, d, m = 64, 3, 8
+    X = rng.normal(size=(n, d))
+    y = (np.sin(X[:, 0]) + X[:, 1]).reshape(-1, 1)
+    k = OAKKernel.create(num_dims=d, max_interaction_depth=2)
+    model = SGPR.create(X, y, k, Z=X[:m].copy(), noise_variance=0.1)
+    mesh = _mesh_2d()
+
+    res_s = fit_lbfgs_multistart_sharded(model, mesh, n_starts=2,
+                                         jitter=0.3, seed=0, max_iters=20)
+    res_0 = fit_lbfgs_multistart(model, lambda mm: mm.training_loss(),
+                                 n_starts=2, jitter=0.3, seed=0,
+                                 max_iters=20)
+    np.testing.assert_allclose(res_s.fun, res_0.fun, rtol=1e-6)
+    v_s, _ = flatten_trainable(res_s.model)
+    v_0, _ = flatten_trainable(res_0.model)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_0),
+                               rtol=1e-4, atol=1e-6)
+    # the winning model keeps its ORIGINAL (unsharded) data leaves
+    assert res_s.model.X.shape == (n, d)
+    assert "restart x data" in res_s.message
+
+    # SVGP external-data contract (with the batched Adam warmup lane)
+    sv_model, Xj, Yj = _setup(rng, n=64, d=3, m=8)
+    rs = fit_lbfgs_multistart_sharded(sv_model, mesh, X=Xj, Y=Yj,
+                                      n_starts=2, seed=0, max_iters=10,
+                                      warm_adam_steps=5)
+    r0 = fit_lbfgs_multistart(sv_model, lambda mm: mm.training_loss(Xj, Yj),
+                              n_starts=2, seed=0, max_iters=10,
+                              warm_adam_steps=5)
+    np.testing.assert_allclose(rs.fun, r0.fun, rtol=1e-6)
+
+
+def test_multistart_2d_mesh_validation(rng):
+    from oak_tpu.models import SGPR
+    from oak_tpu.parallel import fit_lbfgs_multistart_sharded
+
+    X = rng.normal(size=(64, 2))
+    y = X[:, :1]
+    k = OAKKernel.create(num_dims=2, max_interaction_depth=1)
+    model = SGPR.create(X, y, k, Z=X[:4].copy(), noise_variance=0.1)
+
+    with pytest.raises(ValueError, match="2-D mesh"):
+        fit_lbfgs_multistart_sharded(model, make_mesh(8), n_starts=2)
+    with pytest.raises(ValueError, match="divisible"):
+        fit_lbfgs_multistart_sharded(model, _mesh_2d(), n_starts=3)
+    Xbad = rng.normal(size=(62, 2))  # 62 not divisible by the 4 data devices
+    mbad = SGPR.create(Xbad, Xbad[:, :1], k, Z=Xbad[:4].copy(),
+                       noise_variance=0.1)
+    with pytest.raises(ValueError, match="divisible"):
+        fit_lbfgs_multistart_sharded(mbad, _mesh_2d(), n_starts=2)
+
+
+def test_oak_model_optimise_restarts_data_mesh(rng):
+    """oak_model.optimise(restarts=K, data_mesh=2-D mesh) end-to-end: the
+    composed restarts-and-data-sharded fit lands within trajectory-drift
+    distance of the unsharded multistart."""
+    from oak_tpu.model import oak_model
+
+    n, d = 64, 3
+    X = rng.normal(size=(n, d))
+    y = np.sin(X[:, 0]) + 0.5 * X[:, 1]
+
+    def build():
+        oak = oak_model(max_interaction_depth=2, use_normalising_flow=False)
+        oak.fit(X, y, optimise=False)
+        return oak
+
+    oak_s = build()
+    res_s = oak_s.optimise(max_iters=15, restarts=2, data_mesh=_mesh_2d())
+    oak_0 = build()
+    res_0 = oak_0.optimise(max_iters=15, restarts=2)
+    np.testing.assert_allclose(res_s.fun, res_0.fun, rtol=1e-6)

@@ -299,7 +299,8 @@ class oak_model:
 
     def optimise(self, max_iters: int = 1000, compile: bool = True,
                  restarts: int = 0, mesh=None, data_mesh=None,
-                 checkpoint_path=None, checkpoint_every: int = 100):
+                 checkpoint_path=None, checkpoint_every: int = 100,
+                 verbose: bool = False):
         """``compile`` mirrors the reference's Scipy(..., compile=) tf.function
         toggle (model_utils.py:419-425): with optimizer='scipy' it switches
         between jitted and eager objective evaluation. The on-device
@@ -330,7 +331,15 @@ class oak_model:
         Combined with ``restarts > 0``, ``data_mesh`` must be a 2-D mesh
         with ('restart', 'data')-style axes: the restarts shard over one
         axis and each fit's data over the other
-        (parallel.fit_lbfgs_multistart_sharded)."""
+        (parallel.fit_lbfgs_multistart_sharded).
+
+        ``verbose=True`` prints the parameter summary table before and
+        after training, like the reference's gpflow print_summary calls
+        around its Scipy minimize (model_utils.py:415-427); default off so
+        programmatic use stays quiet."""
+        if verbose:
+            print("Model prior to optimisation")
+            print(self.summary())
         t0 = time.time()
         self.alpha = None
         loss = self._loss_fn()
@@ -509,7 +518,19 @@ class oak_model:
                         res = retry
         self.m = res.model
         self.timings["optimise"] = time.time() - t0
+        if verbose:
+            print(self.summary())
+            print(f"Training took {self.timings['optimise']:.1f} seconds.")
         return res
+
+    def summary(self) -> str:
+        """Parameter table of the underlying model — the
+        gpflow.utilities.print_summary equivalent the reference shows
+        around optimisation (model_utils.py:174,416,426): name, transform,
+        prior, trainable, shape, dtype, constrained value per Param."""
+        from .utils.summary import summary_string
+
+        return summary_string(self.m)
 
     @staticmethod
     def _pathological_fit(model, fun: float = 0.0) -> bool:

@@ -281,3 +281,15 @@ def get_list_representation(kernel, num_dims, share_var_across_orders=True):
     from .kernels.oak_kernel import get_list_representation as _f
 
     return _f(kernel, num_dims, share_var_across_orders)
+
+
+# gpflow.utilities name (the reference calls it around optimisation,
+# model_utils.py:174,416,426)
+def print_summary(module, fmt: str = "simple") -> None:
+    """gpflow.utilities.print_summary equivalent: prints the parameter table
+    (name, transform, prior, trainable, shape, dtype, constrained value) of
+    any oak_tpu model/kernel pytree. ``fmt`` accepted for call-site
+    compatibility; all formats print the same plain-text table."""
+    from .utils.summary import print_summary as _f
+
+    _f(module, fmt=fmt)

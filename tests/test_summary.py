@@ -68,3 +68,12 @@ def test_optimise_verbose_prints_tables(rng, capsys):
 
 def test_empty_tree_summary():
     assert summary_string(np.zeros(3)) == "(no parameters)"
+
+
+def test_compat_print_summary(rng, capsys):
+    # reference call sites use gpflow.utilities.print_summary(m, fmt="notebook")
+    from oak_tpu import compat
+
+    oak = _fitted(rng)
+    compat.print_summary(oak.m, fmt="notebook")
+    assert "trainable" in capsys.readouterr().out

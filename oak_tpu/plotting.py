@@ -10,6 +10,12 @@ instead of the reference's per-model L-vs-Qinv split (plotting_utils.py
 :102-112). Fixes the reference's NameError in plot_single_effect_binary
 (undefined Y_corrected_rescaled, plotting_utils.py:427) by actually computing
 the corrected data. tikz export is gated on tikzplotlib availability.
+
+Rendering is owned by :class:`EffectFigure`, a shared scaffolding for the one
+layout grammar every effect plot uses (main panel + marginal histogram
+strips); the five public plot functions only assemble data and call into it.
+The panel geometry is pinned by tests/test_plotting_layout.py so figures stay
+layout-compatible with the reference's output.
 """
 
 from __future__ import annotations
@@ -139,6 +145,160 @@ def _apply(t, x):
 
 
 # --------------------------------------------------------------------------- #
+# Owned figure scaffolding.
+#
+# Every effect plot in this module speaks one layout grammar: a main panel
+# carrying the effect itself (a credible band, a labelled contour field, or
+# discrete interval marks), a thin marginal-histogram strip underneath
+# showing where the training data lives on that axis, and — when the effect
+# has a second continuous axis — a matching strip along the left edge.
+# EffectFigure owns that grammar end to end: panel geometry, mark styles,
+# marginal binning, the raw-data overlay axis, tick hygiene, and tikz
+# export. The public plot functions below never touch figure geometry.
+
+# Panel rectangles in figure fractions (x0, y0, width, height). The main
+# panel floats above the bottom strip and right of the left strip with
+# small gutters so the shared-axis panels read as a single unit.
+_PANEL_GEOMETRY = {
+    "main": (0.2, 0.2, 0.75, 0.75),
+    "bottom": (0.2, 0.05, 0.75, 0.15),
+    "left": (0.08, 0.2, 0.12, 0.75),
+}
+
+
+class EffectFigure:
+    """Shared scaffolding for effect figures (see module docstring)."""
+
+    BAND_COLOR = "C0"
+    BAND_ALPHA = 0.2
+    HIST_STYLE = {"color": "grey", "alpha": 0.2}
+    #: overlay histograms for two-population comparisons (X_list option)
+    OVERLAY_SERIES = (("orange", "data 1"), ("blue", "data 2"))
+
+    def __init__(self, figsize=(8, 4), n_main: int = 1, main_rect=None,
+                 main_gap: float = 0.08):
+        self.fig = plt.figure(figsize=figsize)
+        x0, y0, w, h = main_rect if main_rect is not None else _PANEL_GEOMETRY["main"]
+        if n_main == 1:
+            rows = [(x0, y0, w, h)]
+        else:
+            panel_h = (h - main_gap * (n_main - 1)) / n_main
+            rows = [
+                (x0, y0 + (n_main - 1 - k) * (panel_h + main_gap), w, panel_h)
+                for k in range(n_main)
+            ]
+        first = self.fig.add_axes(rows[0])
+        self.mains = [first] + [
+            self.fig.add_axes(r, sharex=first) for r in rows[1:]
+        ]
+        self.main = first
+        self.bottom = None
+        self.left = None
+
+    # ---- main-panel marks -------------------------------------------------
+    def band(self, x, mean, lower, upper, ax=None, mean_style=None):
+        """Posterior mean with a +/-2 sigma credible envelope.
+
+        The envelope is a translucent fill with thin dark edge lines; the
+        mean defaults to a heavier dark line but can be restyled (the
+        stacked binary panels use a colored, legend-labelled mean).
+        """
+        ax = self.main if ax is None else ax
+        ax.fill_between(x, lower, upper,
+                        alpha=self.BAND_ALPHA, color=self.BAND_COLOR)
+        for edge in (lower, upper):
+            ax.plot(x, edge, color="k", linewidth=0.5, zorder=11)
+        style = mean_style if mean_style is not None else {
+            "color": "k", "linewidth": 1, "zorder": 11}
+        ax.plot(x, mean, **style)
+        return ax
+
+    def contour_field(self, gx, gy, z, label_fontsize: int = 20):
+        """Labelled contour field of a two-dim effect on the main panel."""
+        marks = self.main.contour(gx, gy, z,
+                                  colors=self.BAND_COLOR, linewidths=1.4)
+        self.main.clabel(marks, inline=1, fontsize=label_fontsize)
+        return marks
+
+    def interval_marks(self, lower, upper, mean, level_names,
+                       bar_color, point_color):
+        """Discrete effect: a vertical credible bar plus a mean cross per
+        level, with the level names as the x axis."""
+        levels = np.arange(len(level_names))
+        for c in levels:
+            self.main.plot([c, c], [lower[c], upper[c]],
+                           linewidth=8, color=bar_color)
+        self.main.plot(levels, mean, "x", color=point_color, linestyle="none")
+        self.main.set_xticks(levels)
+        self.main.set_xticklabels(level_names)
+        self.main.set_xlim(-1, len(level_names))
+
+    def raw_overlay(self, x, y, semilogy: bool = False):
+        """Raw observations on a secondary right-hand axis, drawn behind the
+        effect band (the main panel is lifted above it)."""
+        twin = self.main.twinx()
+        twin.plot(x, y, "C1x")
+        twin.set_ylabel("Raw data", color="C1")
+        if semilogy:
+            twin.semilogy()
+        self.main.set_zorder(twin.get_zorder() + 1)
+        self.main.patch.set_visible(False)
+        return twin
+
+    # ---- marginal histogram strips -----------------------------------------
+    @staticmethod
+    def _bins(values, num_bin: int, log: bool):
+        if not log:
+            return num_bin
+        lo, hi = np.log10(values.min() + 1), np.log10(values.max() + 1)
+        return np.logspace(lo, hi, num_bin)
+
+    def bottom_hist(self, values, xlabel: str, num_bin: int = 100,
+                    log_bins: bool = False, overlay=None):
+        """Marginal histogram strip under the main panel (shared x)."""
+        ax = self.fig.add_axes(_PANEL_GEOMETRY["bottom"], sharex=self.main)
+        values = np.ravel(np.asarray(values))
+        bins = self._bins(values, num_bin, log_bins)
+        if overlay is not None:
+            for series, (color, name) in zip(overlay, self.OVERLAY_SERIES):
+                ax.hist(series, bins=bins, alpha=0.3, color=color, label=name)
+            ax.legend(loc="upper right", prop={"size": 12})
+        else:
+            ax.hist(values, bins=bins, **self.HIST_STYLE)
+        ax.set_yticks([])
+        ax.set_xlabel(xlabel)
+        self.bottom = ax
+        return ax
+
+    def left_hist(self, values, ylabel: str, num_bin: int = 100,
+                  log_bins: bool = False):
+        """Marginal histogram strip left of the main panel (shared y),
+        with counts growing leftwards, toward the figure edge."""
+        ax = self.fig.add_axes(_PANEL_GEOMETRY["left"], sharey=self.main)
+        values = np.ravel(np.asarray(values))
+        ax.hist(values, bins=self._bins(values, num_bin, log_bins),
+                orientation="horizontal", **self.HIST_STYLE)
+        ax.set_xticks([])
+        ax.invert_xaxis()
+        ax.set_ylabel(ylabel)
+        self.left = ax
+        return ax
+
+    # ---- finishing ----------------------------------------------------------
+    def finish(self, title: str, tikz_path=None) -> FigureDescription:
+        """Tick hygiene + export. A main-panel axis that shares an axis with
+        a marginal strip drops its duplicate tick labels — the strip carries
+        them."""
+        if self.bottom is not None:
+            for ax in self.mains:
+                plt.setp(ax.get_xticklabels(), visible=False)
+        if self.left is not None:
+            plt.setp(self.main.get_yticklabels(), visible=False)
+        _save_tikz(tikz_path, title)
+        return FigureDescription(fig=self.fig, description=title)
+
+
+# --------------------------------------------------------------------------- #
 def plot_single_effect(
     m, i: int, covariate_name: str = "", title: str = "",
     x_transform=None, y_transform=None, semilogy=False,
@@ -196,52 +356,25 @@ def plot_single_effect(
     upper_rescaled = _apply(y_transform, upper)
     Y_rescaled = _apply(y_transform, Y)
 
-    figure = plt.figure(figsize=(8, 4))
-    ax1 = figure.add_axes([0.2, 0.2, 0.75, 0.75])
-    ax1.plot(xx_rescaled, mu_rescaled, linewidth=1, color="k", zorder=11)
-    ax1.plot(xx_rescaled, lower_rescaled, linewidth=0.5, color="k", zorder=11)
-    ax1.plot(xx_rescaled, upper_rescaled, linewidth=0.5, color="k", zorder=11)
-    ax1.fill_between(xx_rescaled, lower_rescaled, upper_rescaled, alpha=0.2, color="C0")
+    ef = EffectFigure()
+    ef.band(xx_rescaled, mu_rescaled, lower_rescaled, upper_rescaled)
     if plot_corrected_data:
         Yc = _apply(y_transform, Y_corrected)
-        ax1.plot(Xi_rescaled, Yc[:, 0], "C0x", label="data with other effects removed")
-        ax1.set_ylim(*np.percentile(Yc, (2, 98)))
+        ef.main.plot(Xi_rescaled, Yc[:, 0], "C0x",
+                     label="data with other effects removed")
+        ef.main.set_ylim(*np.percentile(Yc, (2, 98)))
     elif ylim is not None:
-        ax1.set_ylim(ylim)
-    ax1.set_xlim(xx_rescaled.min(), xx_rescaled.max())
-
+        ef.main.set_ylim(ylim)
+    ef.main.set_xlim(xx_rescaled.min(), xx_rescaled.max())
     if plot_raw_data:
-        ax1a = ax1.twinx()
-        ax1a.plot(Xi_rescaled, Y_rescaled[:, 0], "C1x")
-        ax1a.set_ylabel("Raw data", color="C1")
-        ax1.set_zorder(ax1a.get_zorder() + 1)
-        if semilogy:
-            ax1a.semilogy()
-
-    ax1.patch.set_visible(False)
-    for tick in ax1.get_xticklabels():
-        tick.set_visible(False)
-    ax1.set_ylabel("$f_{" + covariate_name + "}$")
-    ax1.set_title(title)
-
-    ax2 = figure.add_axes([0.2, 0.05, 0.75, 0.15], sharex=ax1)
-    bins = (
-        num_bin if not log_bin
-        else np.logspace(np.log10(Xi_rescaled.min() + 1),
-                         np.log10(Xi_rescaled.max() + 1), num_bin)
-    )
-    if X_list is not None:
-        ax2.hist(X_list[0], alpha=0.3, color="orange", bins=bins, label="data 1")
-        ax2.hist(X_list[1], alpha=0.3, color="blue", bins=bins, label="data 2")
-        ax2.legend(loc="upper right", prop={"size": 12})
-    else:
-        ax2.hist(Xi_rescaled.flatten(), alpha=0.2, color="grey", bins=bins)
-    ax2.set_yticks([])
-    ax2.set_xlabel(covariate_name)
+        ef.raw_overlay(Xi_rescaled, Y_rescaled[:, 0], semilogy=semilogy)
+    ef.main.set_ylabel("$f_{" + covariate_name + "}$")
+    ef.main.set_title(title)
+    ef.bottom_hist(Xi_rescaled, covariate_name, num_bin=num_bin,
+                   log_bins=log_bin, overlay=X_list)
     if semilogy:
-        ax1.semilogy()
-    _save_tikz(tikz_path, title)
-    return FigureDescription(fig=figure, description=title)
+        ef.main.semilogy()
+    return ef.finish(title, tikz_path)
 
 
 def plot_second_order(
@@ -276,43 +409,25 @@ def plot_second_order(
     Xj_r = _apply(x_transforms[1], Xj)
     mu_r = _apply(y_transform, mu)
 
-    figure = plt.figure(figsize=(8, 4))
-    ax1 = figure.add_axes([0.2, 0.2, 0.75, 0.75])
-    bins_i = bins_j = num_bin
-    if log_axis and log_axis[0]:
-        ax1.set_xscale("log")
+    log_x = bool(log_axis and log_axis[0])
+    log_y = bool(log_axis and log_axis[1])
+    ef = EffectFigure()
+    if log_x:
+        # plot log(x+1) when the axis is logarithmic
+        ef.main.set_xscale("log")
         gx_r = gx_r + 1
         Xi_r = Xi_r + 1
-        bins_i = np.logspace(np.log10(Xi_r.min() + 1), np.log10(Xi_r.max() + 1), num_bin)
-    if log_axis and log_axis[1]:
-        ax1.set_yscale("log")
+    if log_y:
+        ef.main.set_yscale("log")
         gy_r = gy_r + 1
         Xj_r = Xj_r + 1
-        bins_j = np.logspace(np.log10(Xj_r.min() + 1), np.log10(Xj_r.max() + 1), num_bin)
-
-    contours = ax1.contour(gx_r, gy_r, mu_r.reshape(gx.shape), linewidths=1.4,
-                           colors="C0")
-    ax1.clabel(contours, inline=1, fontsize=20)
-    ax1.set_title(title)
-
-    ax2 = figure.add_axes([0.2, 0.05, 0.75, 0.15], sharex=ax1)
-    ax2.hist(Xi_r.flatten(), alpha=0.2, color="grey", bins=bins_i)
-    ax2.set_yticks([])
-    ax2.set_xlabel(covariate_names[0])
-
-    ax3 = figure.add_axes([0.08, 0.2, 0.12, 0.75], sharey=ax1)
-    ax3.hist(Xj_r.flatten(), alpha=0.2, color="grey", bins=bins_j,
-             orientation="horizontal")
-    ax3.set_xticks([])
-    ax3.set_xlim(ax3.get_xlim()[::-1])
-    ax3.set_ylabel(covariate_names[1])
-
-    ax1.set_xlim(gx_r.min(), gx_r.max())
-    ax1.set_ylim(gy_r.min(), gy_r.max())
-    for tick in ax1.get_xticklabels() + ax1.get_yticklabels():
-        tick.set_visible(False)
-    _save_tikz(tikz_path, title)
-    return FigureDescription(fig=figure, description=title)
+    ef.contour_field(gx_r, gy_r, mu_r.reshape(gx.shape))
+    ef.main.set_title(title)
+    ef.bottom_hist(Xi_r, covariate_names[0], num_bin=num_bin, log_bins=log_x)
+    ef.left_hist(Xj_r, covariate_names[1], num_bin=num_bin, log_bins=log_y)
+    ef.main.set_xlim(gx_r.min(), gx_r.max())
+    ef.main.set_ylim(gy_r.min(), gy_r.max())
+    return ef.finish(title, tikz_path)
 
 
 def plot_single_effect_binary(
@@ -342,30 +457,23 @@ def plot_single_effect_binary(
     upper_r = _apply(y_transform, upper)
     Yc_r = _apply(y_transform, Y_corrected)
 
-    fig, ax1 = plt.subplots(1, 1, figsize=(10, 6))
-    ax1.plot([0, 0], [lower_r[0], upper_r[0]], linewidth=8, color="r")
-    ax1.plot([1, 1], [lower_r[1], upper_r[1]], linewidth=8, color="r")
-    ax1a = ax1.twinx()
+    ef = EffectFigure(figsize=(10, 6), main_rect=(0.12, 0.12, 0.76, 0.8))
+    box = ef.main.twinx()
+    box.boxplot([Yc_r[Xi == 0][:, 0], Yc_r[Xi == 1][:, 0]], positions=[0, 1])
+    box.set_ylabel("data with other effects removed", color="k")
     try:
-        ax1.sharey(ax1a)
+        ef.main.sharey(box)
     except Exception:
         pass
-    ax1a.boxplot([Yc_r[Xi == 0][:, 0], Yc_r[Xi == 1][:, 0]],
-                 positions=np.array(range(2)))
-    ax1a.set_xticklabels([binary_name[0], binary_name[1]])
-    ax1a.set_ylabel("data with other effects removed", color="k")
-    ax1.plot(1, mu_r[1], "x", linewidth=40, color="b")
-    ax1.plot(0, mu_r[0], "x", linewidth=40, color="b")
-    plt.xticks(np.arange(2), [binary_name[0], binary_name[1]])
-    plt.xlim([-1, 2])
-    plt.tight_layout()
-    ax1.set_ylabel(title, color="r")
-    ax1.set_title(covariate_name)
+    ef.interval_marks(lower_r, upper_r, mu_r,
+                      [binary_name[0], binary_name[1]],
+                      bar_color="r", point_color="b")
+    ef.main.set_ylabel(title, color="r")
+    ef.main.set_title(covariate_name)
     if semilogy:
-        ax1.semilogy()
-        ax1a.semilogy()
-    _save_tikz(tikz_path, title)
-    return FigureDescription(fig=fig, description=title)
+        ef.main.semilogy()
+        box.semilogy()
+    return ef.finish(title, tikz_path)
 
 
 def plot_second_order_binary(
@@ -392,28 +500,20 @@ def plot_second_order_binary(
     lower_r = _apply(y_transform, lower)
     upper_r = _apply(y_transform, upper)
 
-    fig, axes = plt.subplots(nrows=2, ncols=1, sharex="col", figsize=(10, 6))
-    plt.subplots_adjust(left=0.25, bottom=0.25, right=1)
-    sel0 = yy.flatten() == 0
-    sel1 = yy.flatten() == 1
-    for ax, sel, name in ((axes[0], sel0, binary_name[0]),
-                          (axes[1], sel1, binary_name[1])):
-        ax.plot(xx_r, mu_r[sel], linewidth=2, color="C0", zorder=10, label=name)
-        ax.plot(xx_r, lower_r[sel], linewidth=0.5, color="k", zorder=11)
-        ax.plot(xx_r, upper_r[sel], linewidth=0.5, color="k", zorder=11)
-        ax.fill_between(xx_r, lower_r[sel], upper_r[sel], alpha=0.2, color="C0")
+    # one stacked band panel per binary level, sharing the continuous axis
+    ef = EffectFigure(figsize=(10, 6), n_main=2)
+    levels = yy.flatten()
+    for ax, level, name in ((ef.mains[0], 0, binary_name[0]),
+                            (ef.mains[1], 1, binary_name[1])):
+        sel = levels == level
+        ef.band(xx_r, mu_r[sel], lower_r[sel], upper_r[sel], ax=ax,
+                mean_style={"linewidth": 2, "color": "C0", "zorder": 10,
+                            "label": name})
         ax.legend()
-    axes[0].set_title(title)
-    axes[0].set_xlim(xx_r.min(), xx_r.max())
-
-    ax3 = fig.add_axes([0.25, 0.02, 0.75, 0.15], sharex=axes[1])
-    ax3.hist(Xi_r.flatten(), alpha=0.2, color="grey", bins=50)
-    ax3.set_yticks([])
-    ax3.set_xlabel(covariate_names[0])
-    for tick in axes[0].get_xticklabels() + axes[1].get_xticklabels():
-        tick.set_visible(False)
-    _save_tikz(tikz_path, title)
-    return FigureDescription(fig=fig, description=title)
+    ef.mains[0].set_title(title)
+    ef.mains[0].set_xlim(xx_r.min(), xx_r.max())
+    ef.bottom_hist(Xi_r, covariate_names[0], num_bin=50)
+    return ef.finish(title, tikz_path)
 
 
 def plot_single_effect_categorical(
@@ -428,19 +528,15 @@ def plot_single_effect_categorical(
     lower_r = _apply(y_transform, lower)
     upper_r = _apply(y_transform, upper)
 
-    fig, ax1 = plt.subplots(1, 1, figsize=(10, 6))
-    for c in range(num_cat):
-        ax1.plot([c, c], [lower_r[c], upper_r[c]], linewidth=8, color="cornflowerblue")
-        ax1.plot(c, mu_r[c], "x", linewidth=20, color="r")
-    plt.xticks(np.arange(num_cat), [categorical_name[c] for c in range(num_cat)])
-    plt.xlim([-1, num_cat])
-    plt.tight_layout()
-    ax1.set_ylabel("Output Effect")
-    ax1.set_title(title)
+    ef = EffectFigure(figsize=(10, 6), main_rect=(0.12, 0.12, 0.76, 0.8))
+    ef.interval_marks(lower_r, upper_r, mu_r,
+                      [categorical_name[c] for c in range(num_cat)],
+                      bar_color="cornflowerblue", point_color="r")
+    ef.main.set_ylabel("Output Effect")
+    ef.main.set_title(title)
     if semilogy:
-        ax1.semilogy()
-    _save_tikz(tikz_path, title)
-    return FigureDescription(fig=fig, description=title)
+        ef.main.semilogy()
+    return ef.finish(title, tikz_path)
 
 
 # --------------------------------------------------------------------------- #

@@ -17,25 +17,35 @@ from ..params import Param, iter_params
 
 
 def _format_value(v: np.ndarray, max_elems: int = 6) -> str:
+    # float() each element: some numpy versions reject format specs on 0-d
+    # arrays / numpy scalars
     v = np.asarray(v)
     if v.ndim == 0:
-        return f"{v:.5g}"
+        return f"{float(v):.5g}"
     flat = v.ravel()
     if flat.size <= max_elems:
-        body = ", ".join(f"{x:.4g}" for x in flat)
+        body = ", ".join(f"{float(x):.4g}" for x in flat)
         return f"[{body}]"
-    body = ", ".join(f"{x:.4g}" for x in flat[:max_elems])
+    body = ", ".join(f"{float(x):.4g}" for x in flat[:max_elems])
     return f"[{body}, ...]"
 
 
 def _transform_name(p: Param) -> str:
     bij = p.bij
     name = type(bij).__name__
+    defaults = type(bij)()
     extras = []
     for field in ("low", "high"):
         val = getattr(bij, field, None)
-        if val is not None and not (field == "low" and val == 0.0):
-            extras.append(f"{field}={val:g}")
+        if val is None:
+            continue
+        # A Sigmoid's bounds are always load-bearing (the caller chose them,
+        # e.g. lengthscale_bounds), so both are shown even at the class
+        # default; elsewhere a class-default field (Softplus's low=0.0) is
+        # noise and is suppressed.
+        if name != "Sigmoid" and val == getattr(defaults, field, None):
+            continue
+        extras.append(f"{field}={val:g}")
     return name + (f"({', '.join(extras)})" if extras else "")
 
 
@@ -50,14 +60,18 @@ def _prior_name(p: Param) -> str:
 
 
 def parameter_table(tree: Any) -> List[Tuple[str, ...]]:
-    """Rows of (name, transform, prior, trainable, shape, dtype, value) for
-    every ``Param`` in the pytree, in canonical (checkpoint) order. Values
-    are the *constrained* values, matching what GPflow's table shows."""
+    """Rows of (name, class, transform, prior, trainable, shape, dtype,
+    value) for every ``Param`` in the pytree, in canonical (checkpoint)
+    order — the same columns as gpflow's print_summary table. Values are the
+    *constrained* values, matching what GPflow's table shows; the class
+    column is the parameter node's type (``Param``), the analogue of
+    gpflow's ``Parameter``."""
     rows = []
     for name, p in iter_params(tree):
         value = np.asarray(p.value)
         rows.append((
             name.lstrip("."),
+            type(p).__name__,
             _transform_name(p),
             _prior_name(p),
             str(bool(p.trainable)),
@@ -68,8 +82,8 @@ def parameter_table(tree: Any) -> List[Tuple[str, ...]]:
     return rows
 
 
-_HEADER = ("name", "transform", "prior", "trainable", "shape", "dtype",
-           "value")
+_HEADER = ("name", "class", "transform", "prior", "trainable", "shape",
+           "dtype", "value")
 
 
 def summary_string(tree: Any) -> str:

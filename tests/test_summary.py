@@ -23,13 +23,15 @@ def test_parameter_table_rows(rng):
     # kernel lengthscales, per-order variances, likelihood variance all appear
     assert any("lengthscale" in n for n in names)
     assert any("variance" in n for n in names)
-    # every row: (name, transform, prior, trainable, shape, dtype, value)
+    # every row: (name, class, transform, prior, trainable, shape, dtype,
+    # value) — the gpflow print_summary column set
     for r in rows:
-        assert len(r) == 7
-        assert r[3] in ("True", "False")
+        assert len(r) == 8
+        assert r[1] == "Param"
+        assert r[4] in ("True", "False")
     # the order variances carry the reference's Gamma(1, 0.2) sparsity-style
     # prior only when sparsity_prior is set; lengthscales are Sigmoid-bounded
-    transforms = {r[0]: r[1] for r in rows}
+    transforms = {r[0]: r[2] for r in rows}
     assert any(t.startswith("Sigmoid") for t in transforms.values())
     assert any(t.startswith("Softplus") for t in transforms.values())
 
@@ -48,10 +50,27 @@ def test_values_are_constrained(rng):
     oak = _fitted(rng)
     rows = parameter_table(oak.m)
     # constrained values: every Softplus/Sigmoid-transformed entry positive
-    for name, transform, _, _, _, _, value in rows:
+    for name, _cls, transform, _, _, _, _, value in rows:
         if transform.startswith(("Softplus", "Sigmoid")):
             first = float(value.strip("[]").split(",")[0])
             assert first > 0.0, (name, value)
+
+
+def test_sigmoid_bounds_always_shown(rng):
+    """An explicitly-set Sigmoid(low=0, high=h) bound keeps its low in the
+    table (ADVICE r2): only Softplus's default low=0.0 is suppressed."""
+    oak = _fitted(rng)
+    rows = parameter_table(oak.m)
+    sigmoids = [r[2] for r in rows if r[2].startswith("Sigmoid")]
+    assert sigmoids, "expected Sigmoid-bounded lengthscales"
+    for t in sigmoids:
+        assert "low=" in t and "high=" in t, t
+    softplus = [r[2] for r in rows if r[2].startswith("Softplus")]
+    # default Softplus prints bare; non-default floors (e.g. the likelihood
+    # variance's low=1e-6) keep their bound
+    assert "Softplus" in softplus
+    assert all(t == "Softplus" or "low=" in t for t in softplus)
+    assert not any("low=0)" in t for t in softplus)
 
 
 def test_optimise_verbose_prints_tables(rng, capsys):

@@ -8,16 +8,30 @@ normalised_sobols), same AUC-vs-cumulative-Sobol curve.
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
-import os as _os
-import sys as _sys
+try:  # installed package (pip install -e .)
+    import oak_tpu  # noqa: F401
+except ImportError:  # uninstalled checkout: put the repo root on the path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
-_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "../..")))
-from datasets import load_classification
+import os
+
+if os.environ.get("OAK_TPU_PLATFORM"):  # e.g. "cpu" for baseline runs/tests
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["OAK_TPU_PLATFORM"])
+
+
+try:
+    from datasets import load_classification
+except ImportError:  # invoked from outside examples/uci
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from datasets import load_classification
 
 
 def main():
@@ -32,12 +46,21 @@ def main():
                          "start with automatic degenerate-fit fallback)")
     ap.add_argument("--optimizer", default="lbfgs",
                     choices=["lbfgs", "scipy", "adam", "natgrad"])
+    ap.add_argument("--output_dir", default=None,
+                    help="where to write out_<fold>.npz / model checkpoints "
+                         "(default: examples/uci/outputs/<dataset_name>)")
+    ap.add_argument("--depth", type=int, default=None,
+                    help="interaction depth override (default: 4, or 2 for "
+                         "sonar — the reference's rule)")
     args = ap.parse_args()
 
     X, y, provenance = load_classification(args.dataset_name)
     n, d = X.shape
     # sonar has 60 features: truncate interactions (reference :95-98)
-    depth = 4 if args.dataset_name != "sonar" else 2
+    if args.depth is not None:
+        depth = args.depth
+    else:
+        depth = 4 if args.dataset_name != "sonar" else 2
 
     from oak_tpu.experiment import ExperimentConfig, FitConfig, ModelConfig
 
@@ -50,7 +73,8 @@ def main():
                           likelihood="bernoulli", optimizer=args.optimizer),
         fit=FitConfig(max_iters=args.max_iters, restarts=args.restarts),
     )
-    out_dir = Path(__file__).parent / "outputs" / args.dataset_name
+    out_dir = (Path(args.output_dir) if args.output_dir is not None
+               else Path(__file__).parent / "outputs" / args.dataset_name)
     out_dir.mkdir(parents=True, exist_ok=True)
     cfg.save(out_dir / "config.json")
 

@@ -6,11 +6,13 @@ rebuild needed, cf. reference :163-200).
 """
 
 import argparse
+import sys
 from pathlib import Path
-import os as _os
-import sys as _sys
 
-_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "../..")))
+try:  # installed package (pip install -e .)
+    import oak_tpu  # noqa: F401
+except ImportError:  # uninstalled checkout: put the repo root on the path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 # Feature-name tables for all 10 datasets (reference :19-96; the reference
 # keys housing as "Housing" — both spellings are accepted below)
@@ -38,6 +40,14 @@ COVARIATE_NAMES = {
 COVARIATE_NAMES["Housing"] = COVARIATE_NAMES["housing"]
 
 
+import os
+
+if os.environ.get("OAK_TPU_PLATFORM"):  # e.g. "cpu" for baseline runs/tests
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["OAK_TPU_PLATFORM"])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset_name", default="autoMPG")
@@ -48,11 +58,16 @@ def main():
                          "(positional hyperparams layout): rebuild this "
                          "fold's model shape, then overwrite its parameters "
                          "from the reference file (for output diffing)")
+    ap.add_argument("--output_dir", default=None,
+                    help="fold-output directory to read the checkpoint from "
+                         "and write figures into "
+                         "(default: examples/uci/outputs/<dataset_name>)")
     args = ap.parse_args()
 
     from oak_tpu import load_reference_npz, oak_model
 
-    out_dir = Path(__file__).parent / "outputs" / args.dataset_name
+    out_dir = (Path(args.output_dir) if args.output_dir is not None
+               else Path(__file__).parent / "outputs" / args.dataset_name)
     oak = oak_model.load(out_dir / f"model_oak_{args.fold}.npz")
     if args.reference_npz:
         oak.m = load_reference_npz(oak.m, args.reference_npz)

@@ -9,17 +9,30 @@ per-component predictions sum to the full predictive mean.
 
 import argparse
 import json
-import os
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
-import os as _os
-import sys as _sys
+try:  # installed package (pip install -e .)
+    import oak_tpu  # noqa: F401
+except ImportError:  # uninstalled checkout: put the repo root on the path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
-_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "../..")))
-from datasets import load_regression
+import os
+
+if os.environ.get("OAK_TPU_PLATFORM"):  # e.g. "cpu" for baseline runs/tests
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["OAK_TPU_PLATFORM"])
+
+
+try:
+    from datasets import load_regression
+except ImportError:  # invoked from outside examples/uci
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from datasets import load_regression
 
 
 def kfold_indices(n, k, seed=4):
@@ -40,6 +53,9 @@ def main():
                          "start with automatic degenerate-fit fallback)")
     ap.add_argument("--optimizer", default="lbfgs",
                     choices=["lbfgs", "scipy", "adam"])
+    ap.add_argument("--output_dir", default=None,
+                    help="where to write out_<fold>.npz / model checkpoints "
+                         "(default: examples/uci/outputs/<dataset_name>)")
     args = ap.parse_args()
 
     X, y, provenance = load_regression(args.dataset_name)
@@ -61,7 +77,8 @@ def main():
                           optimizer=args.optimizer),
         fit=FitConfig(max_iters=args.max_iters, restarts=args.restarts),
     )
-    out_dir = Path(__file__).parent / "outputs" / args.dataset_name
+    out_dir = (Path(args.output_dir) if args.output_dir is not None
+               else Path(__file__).parent / "outputs" / args.dataset_name)
     out_dir.mkdir(parents=True, exist_ok=True)
     cfg.save(out_dir / "config.json")
 

@@ -1,0 +1,115 @@
+"""Example entry points under pytest (VERDICT r2 weak #1 / task 2).
+
+Each CLI is run as a real subprocess on tiny shapes so an argparse, import,
+or npz-writer regression fails the suite instead of a future manual run.
+Asserted per script: exit 0 plus the output contract — the out_<fold>.npz
+field set the reference writer produces
+(/root/reference/examples/uci/uci_regression_train.py:183-190,
+uci_classification_train.py:214-220), figure files for the plotting CLI, and
+a served-prediction line for the serving walkthrough.
+
+The subprocesses force the CPU backend via OAK_TPU_PLATFORM (the image's
+sitecustomize rewrites JAX_PLATFORMS, so plain env vars don't stick) and
+share the persistent compile cache to keep re-runs fast.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+UCI = REPO / "examples" / "uci"
+
+# field sets of the reference's npz writers; our writers add provenance /
+# timing extras on top, so assert superset
+REFERENCE_REGRESSION_FIELDS = {"cumulative_sobol", "order", "rmse", "nll",
+                               "sobol_order"}
+REFERENCE_CLASSIFICATION_FIELDS = {"normalised_sobols",
+                                   "classification_accuracy", "nll",
+                                   "sobol_order"}
+
+
+def _run(args, cwd=REPO, timeout=900):
+    env = dict(os.environ)
+    env["OAK_TPU_PLATFORM"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/oak_tpu_jax_cache")
+    proc = subprocess.run([sys.executable] + [str(a) for a in args],
+                          cwd=str(cwd), env=env, timeout=timeout,
+                          capture_output=True, text=True)
+    assert proc.returncode == 0, (
+        f"{args[0]} exited {proc.returncode}\nstdout:\n{proc.stdout[-3000:]}"
+        f"\nstderr:\n{proc.stderr[-3000:]}")
+    return proc
+
+
+@pytest.fixture(scope="session")
+def regression_run(tmp_path_factory):
+    out = tmp_path_factory.mktemp("uci_regression")
+    proc = _run([UCI / "uci_regression_train.py", "--dataset_name", "autoMPG",
+                 "--k", "2", "--max_iters", "30", "--depth", "2",
+                 "--output_dir", out])
+    return out, proc
+
+
+def test_regression_cli(regression_run):
+    out, proc = regression_run
+    for fold in range(2):
+        path = out / f"out_{fold}.npz"
+        assert path.exists()
+        with np.load(path) as z:
+            assert REFERENCE_REGRESSION_FIELDS <= set(z.files)
+            assert np.isfinite(float(z["rmse"]))
+            assert np.isfinite(float(z["nll"]))
+            # Sobol mass by order is non-negative and the cumulative curve
+            # is monotone (components are added in decreasing-Sobol order)
+            assert (z["sobol_order"] >= -1e-12).all()
+            assert (np.diff(z["cumulative_sobol"]) >= -1e-12).all()
+        assert (out / f"model_oak_{fold}.npz").exists()
+    assert (out / "config.json").exists()
+    # per-fold JSON progress lines reached stdout
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) >= 2 and "rmse" in lines[-1]
+
+
+def test_plotting_cli(regression_run):
+    out, _ = regression_run
+    _run([UCI / "uci_plotting.py", "--dataset_name", "autoMPG",
+          "--fold", "0", "--top_n", "3", "--output_dir", out])
+    figs = list((out / "decomposition").glob("*.pdf"))
+    assert len(figs) == 3, figs
+    # figure names carry the Sobol index like the reference's convention
+    assert all("(R=" in f.name for f in figs)
+
+
+def test_classification_cli(tmp_path):
+    _run([UCI / "uci_classification_train.py", "--dataset_name", "breast",
+          "--k", "2", "--max_iters", "30", "--depth", "2",
+          "--output_dir", tmp_path])
+    for fold in range(2):
+        with np.load(tmp_path / f"out_{fold}.npz", allow_pickle=True) as z:
+            assert REFERENCE_CLASSIFICATION_FIELDS <= set(z.files)
+            err = float(z["classification_accuracy"])
+            assert 0.0 <= err <= 1.0
+            assert np.isfinite(float(z["nll"]))
+
+
+def test_serving_example(tmp_path):
+    artifact = tmp_path / "predict.jaxexp"
+    proc = _run([REPO / "examples" / "serving_example.py", artifact,
+                 "--n", "120", "--max_iters", "40"])
+    assert artifact.exists() and artifact.stat().st_size > 0
+    assert "served" in proc.stdout
+    assert "single-row request ok" in proc.stdout
+
+
+def test_examples_import_without_repo_cwd(tmp_path):
+    """The scripts run from any CWD (install-mode hygiene: the path fallback
+    resolves relative to the file, not the working directory)."""
+    _run([UCI / "uci_regression_train.py", "--k", "2", "--max_iters", "5",
+          "--depth", "1", "--output_dir", tmp_path / "o"], cwd=tmp_path)
+    assert (tmp_path / "o" / "out_0.npz").exists()

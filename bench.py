@@ -37,21 +37,62 @@ def synth_pumadyn(n=8192, d=32, seed=0):
     return X.astype(np.float32), y.reshape(-1, 1).astype(np.float32)
 
 
-def _build_model(args, q_diag=True):
+def _build_model(args, q_diag=True, likelihood="gaussian"):
     import jax.numpy as jnp
 
     from oak_tpu.kernels import OAKKernel
-    from oak_tpu.models import SVGP, Gaussian
+    from oak_tpu.models import SVGP, Bernoulli, Gaussian
 
     X, Y = synth_pumadyn(args.n, args.d)
+    if likelihood == "bernoulli":
+        # classification stand-in: pass the regression latent through a
+        # logistic link and sample labels — the regime of the reference's
+        # uci_classification_train.py:108-124 at synthetic scale
+        rng = np.random.default_rng(2)
+        p = 1.0 / (1.0 + np.exp(-3.0 * Y[:, 0]))
+        Y = (rng.uniform(size=len(p)) < p).astype(np.float32).reshape(-1, 1)
+        lik = Bernoulli.create()
+    else:
+        lik = Gaussian.create(0.01, dtype=jnp.float32)
     rng = np.random.default_rng(1)
     Z = X[rng.choice(args.n, args.m, replace=False)]
     kernel = OAKKernel.create(num_dims=args.d, max_interaction_depth=args.depth,
                               use_sparsity_prior=True,
                               lengthscale_bounds=[1e-3, 1e3], dtype=jnp.float32)
-    model = SVGP.create(kernel, Gaussian.create(0.01, dtype=jnp.float32), Z,
+    model = SVGP.create(kernel, lik, Z,
                         num_data=args.n, q_diag=q_diag, dtype=jnp.float32)
     return model, X, Y
+
+
+def _time_scan_steps(train, vec0, steps):
+    """steps/s of a jitted ``train(vec, steps) -> (vec, loss)`` scan.
+
+    Timer boundaries use device_get, NOT block_until_ready: through the axon
+    socket relay block_until_ready returns before the device has drained
+    (measured: block 0.48 s vs true 2.9 s on a 500-matmul scan). Per-step
+    time is the SLOPE between a short and a 3x-long run (best-of-2 each):
+    the relay's ~30 ms fetch RTT is a constant, so subtracting the two runs
+    cancels it instead of amortizing it into the step time."""
+    import jax
+
+    s1, s2 = steps, 3 * steps
+    vec, loss = train(vec0, s1)  # warmup/compile
+    jax.device_get(loss)
+    vec_l, loss_l = train(vec0, s2)
+    jax.device_get(loss_l)
+
+    t_short = t_long = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        vec, loss = train(vec0, s1)
+        jax.device_get(loss)
+        t_short = min(t_short, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        vec_l, loss_l = train(vec0, s2)
+        jax.device_get(loss_l)
+        t_long = min(t_long, time.perf_counter() - t0)
+    steps_per_sec = (s2 - s1) / max(t_long - t_short, 1e-9)
+    return steps_per_sec, vec_l, loss_l
 
 
 def run_bench(args):
@@ -89,32 +130,7 @@ def run_bench(args):
         steps_per_sec, loss = float("nan"), jnp.asarray(float("nan"))
         trained = model
     else:
-        # timer boundaries use device_get, NOT block_until_ready: through the
-        # axon socket relay block_until_ready returns before the device has
-        # drained (measured: block 0.48 s vs true 2.9 s on a 500-matmul scan)
-        # and silently under-reports; a value fetch is the only true sync.
-        # Per-step time is the SLOPE between a short and a 3x-long run
-        # (best-of-2 each): the relay's ~30 ms fetch RTT is a constant,
-        # so subtracting the two cancels it instead of amortizing it into
-        # the step time (round-3 numbers carried that +RTT/steps bias).
-        s1, s2 = args.steps, 3 * args.steps
-        vec, loss = train(vec0, s1)  # warmup/compile
-        jax.device_get(loss)
-        vec_l, loss_l = train(vec0, s2)
-        jax.device_get(loss_l)
-
-        t_short = t_long = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            vec, loss = train(vec0, s1)
-            jax.device_get(loss)
-            t_short = min(t_short, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            vec_l, loss_l = train(vec0, s2)
-            jax.device_get(loss_l)
-            t_long = min(t_long, time.perf_counter() - t0)
-        steps_per_sec = (s2 - s1) / max(t_long - t_short, 1e-9)
-        vec, loss = vec_l, loss_l  # report the longer run's fit
+        steps_per_sec, vec, loss = _time_scan_steps(train, vec0, args.steps)
         trained = unflatten(vec)
 
     # FULL-depth Sobol: every component up to the model's interaction depth
@@ -292,12 +308,11 @@ def run_profile(args):
     print(json.dumps(out))
 
 
-def run_large_scale(args):
-    """Minibatch natural-gradient training at N = 10^6 on one chip — the
-    scale datapoint past the reference's regime (its largest run is pumadyn
-    at N=8192 full-batch BFGS; the reference has no minibatch path at all).
-    Measures warm steps/s of the device-resident natgrad+Adam scan
-    (batch 4096, M=512, depth 3) and the device's peak HBM if reported."""
+def _time_natgrad(model, Xj, Yj, n, batch, steps, gamma):
+    """Warm steps/s of the device-resident minibatch natgrad+Adam scan, via
+    the same short/long-slope RTT cancellation as _time_scan_steps. Returns
+    (steps_per_sec, loss_first, loss_last) with the losses taken from the
+    long run (trajectory sanity: finite + descending)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -305,32 +320,19 @@ def run_large_scale(args):
     from oak_tpu.optim.natgrad import natgrad_adam_step
     from oak_tpu.params import flatten_trainable
 
-    # natgrad REQUIRES the full-covariance q: the mean-field (q_diag) natural
-    # step diverges at this scale for any practical gamma (measured:
-    # ~30x/step loss growth identically at gamma=0.1 and 1e-3 — see
-    # optim/natgrad.py STABILITY note), while the full-q update at gamma=0.1
-    # converges monotonically on the same config
-    model, X, Y = _build_model(args, q_diag=False)
-    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
     vec0, unflatten = flatten_trainable(model)
     opt = optax.adam(1e-2)
 
     def loss_fn(m, ib):
         return m.training_loss(Xj[ib], Yj[ib])
 
-    # gamma=0.1 (the optimise_minibatch default): a unit natural-gradient
-    # step is exact only for the FULL data; on minibatches it jumps q(u) to
-    # each batch's optimum and diverges (measured: loss -> inf at gamma=1)
-    step = natgrad_adam_step(opt, unflatten, loss_fn, gamma=0.1)
-
-    rng = np.random.default_rng(0)
-    T = args.steps
+    step = natgrad_adam_step(opt, unflatten, loss_fn, gamma=gamma)
+    T = steps
 
     def make_idx(seed):
         r = np.random.default_rng(seed)
         return jnp.asarray(
-            np.stack([r.integers(0, args.n, args.batch) for _ in range(T)]),
-            jnp.int32)
+            np.stack([r.integers(0, n, batch) for _ in range(T)]), jnp.int32)
 
     @jax.jit
     def run(vec, idx):
@@ -340,27 +342,59 @@ def run_large_scale(args):
             return (v, st), loss
 
         (vec, _), losses = jax.lax.scan(one, (vec, opt.init(vec)), idx)
-        return vec, losses[-1]
+        return vec, losses[0], losses[-1]
 
-    vec, loss = run(vec0, make_idx(1))  # warmup/compile
+    vec, l0, loss = run(vec0, make_idx(1))  # warmup/compile
     jax.device_get(loss)
-    # per-step time via short/long slope (cancels the relay's constant
-    # ~30 ms fetch RTT instead of amortizing it over the steps)
     idx_long = jnp.concatenate([make_idx(2), make_idx(3), make_idx(4)])
-    vec_l, loss_l = run(vec0, idx_long)
+    vec_l, l0_l, loss_l = run(vec0, idx_long)
     jax.device_get(loss_l)
     t_short = t_long = float("inf")
     for rep in range(2):
         t0 = time.perf_counter()
-        vec, loss = run(vec0, make_idx(2))
+        vec, l0, loss = run(vec0, make_idx(2))
         jax.device_get(loss)
         t_short = min(t_short, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        vec_l, loss_l = run(vec0, idx_long)
+        vec_l, l0_l, loss_l = run(vec0, idx_long)
         jax.device_get(loss_l)
         t_long = min(t_long, time.perf_counter() - t0)
     dt = max(t_long - t_short, 1e-9) / 2  # time of T steps, RTT-free
-    vec, loss = vec_l, loss_l
+    return (T / dt, float(jax.device_get(l0_l)), float(jax.device_get(loss_l)))
+
+
+def run_large_scale(args):
+    """Minibatch natural-gradient training at N = 10^6 on one chip — the
+    scale datapoint past the reference's regime (its largest run is pumadyn
+    at N=8192 full-batch BFGS; the reference has no minibatch path at all).
+    Measures warm steps/s of the device-resident natgrad+Adam scan
+    (batch 4096, M=512, depth 3) and the device's peak HBM if reported.
+
+    --bernoulli switches to the non-conjugate regime (VERDICT r2 #4): labels
+    through a logistic link, Bernoulli SVGP with Gauss-Hermite variational
+    expectations, gamma=0.2 — the scale version of the reference's
+    classification setup (uci_classification_train.py:108-124)."""
+    import jax
+    import jax.numpy as jnp
+
+    # natgrad REQUIRES the full-covariance q: the mean-field (q_diag) natural
+    # step diverges at this scale for any practical gamma (measured:
+    # ~30x/step loss growth identically at gamma=0.1 and 1e-3 — see
+    # optim/natgrad.py STABILITY note), while the full-q update at gamma=0.1
+    # converges monotonically on the same config
+    lik = "bernoulli" if args.bernoulli else "gaussian"
+    model, X, Y = _build_model(args, q_diag=False, likelihood=lik)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    # gamma < 1: a unit natural-gradient step is exact only for the FULL
+    # data; on minibatches it jumps q(u) to each batch's optimum and
+    # diverges (measured: loss -> inf at gamma=1). gamma=0.1 is the
+    # optimise_minibatch default; the Bernoulli run uses gamma=0.2 (the
+    # reference classification regime per VERDICT r2 #4).
+    gamma = args.gamma if args.gamma is not None else (
+        0.2 if args.bernoulli else 0.1)
+    steps_per_sec, loss_first, loss_last = _time_natgrad(
+        model, Xj, Yj, args.n, args.batch, args.steps, gamma)
 
     mem = {}
     try:
@@ -371,12 +405,157 @@ def run_large_scale(args):
     except Exception:
         pass
     print(json.dumps({
-        "metric": "natgrad_minibatch_steps_per_sec",
-        "value": round(T / dt, 2), "unit": "steps/s",
+        "metric": ("natgrad_minibatch_bernoulli_steps_per_sec"
+                   if args.bernoulli else "natgrad_minibatch_steps_per_sec"),
+        "value": round(steps_per_sec, 2), "unit": "steps/s",
         "config": f"N={args.n} D={args.d} M={args.m} depth={args.depth} "
-                  f"batch={args.batch}",
-        "final_elbo_loss": float(jax.device_get(loss)),
+                  f"batch={args.batch} gamma={gamma}",
+        "likelihood": lik,
+        "first_elbo_loss": loss_first,
+        "final_elbo_loss": loss_last,
         "backend": jax.default_backend(), **mem,
+    }))
+
+
+def run_m_scale(args):
+    """M-axis scaling (VERDICT r2 #3): every headline row fixes M=512, and
+    the round-6 analysis predicts the serial [M, M] Cholesky/triangular
+    chain becomes the step-time floor as M grows — measure it. Per M:
+    full-batch SVGP Adam step, minibatch natgrad step (batch 4096, full-q),
+    and the full-depth Sobol wall (N, D, depth fixed)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from oak_tpu import sobol as sb
+    from oak_tpu.params import flatten_trainable
+
+    rows = []
+    for m in args.m_list:
+        args.m = m
+        model, X, Y = _build_model(args)
+        Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+        vec0, unflatten = flatten_trainable(model)
+        opt = optax.adam(1e-2)
+
+        @functools.partial(jax.jit, static_argnames="steps")
+        def train(vec, steps, unflatten=unflatten, opt=opt, Xj=Xj, Yj=Yj):
+            def one(carry, _):
+                v, opt_state = carry
+                loss, g = jax.value_and_grad(
+                    lambda u: unflatten(u).training_loss(Xj, Yj))(v)
+                updates, opt_state = opt.update(g, opt_state)
+                return (optax.apply_updates(v, updates), opt_state), loss
+
+            (vec, _), losses = jax.lax.scan(one, (vec, opt.init(vec)), None,
+                                            length=steps)
+            return vec, losses[-1]
+
+        adam_sps, vec_l, _ = _time_scan_steps(train, vec0, args.steps)
+        trained = unflatten(vec_l)
+
+        def full_sobol():
+            tuples, vals = sb.compute_sobol_oak(trained)
+            return len(tuples)
+
+        num_components = full_sobol()  # warmup
+        sobol_secs = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            full_sobol()
+            sobol_secs = min(sobol_secs, time.perf_counter() - t0)
+
+        model_f, _, _ = _build_model(args, q_diag=False)
+        ng_sps, _, _ = _time_natgrad(model_f, Xj, Yj, args.n, args.batch,
+                                     args.steps, gamma=0.1)
+
+        rows.append({"m": m,
+                     "svgp_adam_steps_per_sec": round(adam_sps, 2),
+                     "natgrad_steps_per_sec": round(ng_sps, 2),
+                     "sobol_wall_s": round(sobol_secs, 3),
+                     "num_sobol_components": num_components})
+    print(json.dumps({
+        "metric": "m_scaling",
+        "config": f"N={args.n} D={args.d} depth={args.depth} "
+                  f"batch={args.batch}",
+        "backend": __import__("jax").default_backend(),
+        "rows": rows,
+    }))
+
+
+def run_gpr_scale(args):
+    """Dense exact-GP scale rows (VERDICT r2 #5): full-batch GPR at
+    N in --n-list (default 4096, 8192; D=8, depth 2, f32). The profile is
+    Cholesky-dominated (MXU-bound: one [N, N] factorization + solves per
+    loss+grad evaluation) — a different bottleneck from the VPU-bound SVGP
+    gram. Reports jitted loss+grad steps/s and a warm L-BFGS fit wall
+    (compile excluded: the loop is built+warmed once, then timed).
+    Reference branch: /root/reference/oak/model_utils.py:159 (GPR when no
+    inducing points)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from oak_tpu.kernels import OAKKernel
+    from oak_tpu.models import GPR
+    from oak_tpu.optim.fit import _vector_loss, lbfgs_loop
+    from oak_tpu.params import flatten_trainable
+
+    rows = []
+    for n in args.n_list:
+        X, Y = synth_pumadyn(n, args.d)
+        kernel = OAKKernel.create(num_dims=args.d,
+                                  max_interaction_depth=args.depth,
+                                  use_sparsity_prior=True,
+                                  lengthscale_bounds=[1e-3, 1e3],
+                                  dtype=jnp.float32)
+        model = GPR.create(X, Y, kernel, noise_variance=0.1)
+        vec0, unflatten = flatten_trainable(model)
+        opt = optax.adam(1e-2)
+
+        @functools.partial(jax.jit, static_argnames="steps")
+        def train(vec, steps, unflatten=unflatten, opt=opt):
+            def one(carry, _):
+                v, opt_state = carry
+                loss, g = jax.value_and_grad(
+                    lambda u: unflatten(u).training_loss())(v)
+                updates, opt_state = opt.update(g, opt_state)
+                return (optax.apply_updates(v, updates), opt_state), loss
+
+            (vec, _), losses = jax.lax.scan(one, (vec, opt.init(vec)), None,
+                                            length=steps)
+            return vec, losses[-1]
+
+        sps, _, loss_l = _time_scan_steps(train, vec0, args.steps)
+
+        # warm L-BFGS fit wall: build the while_loop once, warm it, time it
+        v0, _unf, loss_vec = _vector_loss(model, lambda mm: mm.training_loss())
+        run = jax.jit(lbfgs_loop(loss_vec, args.fit_iters, 1e-8, 30))
+        out = run(v0)
+        jax.device_get(out[1])  # warmup/compile
+        fit_wall = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = run(v0)
+            jax.device_get(out[1])
+            fit_wall = min(fit_wall, time.perf_counter() - t0)
+
+        rows.append({"n": n,
+                     "loss_grad_steps_per_sec": round(sps, 2),
+                     "lbfgs_fit_wall_s": round(fit_wall, 3),
+                     "lbfgs_iters": int(jax.device_get(out[3])),
+                     "final_lbfgs_loss": float(jax.device_get(out[1])),
+                     "final_adam_loss": float(jax.device_get(loss_l))})
+    print(json.dumps({
+        "metric": "gpr_dense_scaling",
+        "config": f"D={args.d} depth={args.depth} f32 "
+                  f"fit_iters={args.fit_iters}",
+        "backend": jax.default_backend(),
+        "rows": rows,
     }))
 
 
@@ -651,6 +830,22 @@ def main():
     ap.add_argument("--large-scale", action="store_true",
                     help="N=10^6 minibatch natgrad scale run (one chip): "
                          "steps/s + peak HBM; overrides --n/--steps defaults")
+    ap.add_argument("--bernoulli", action="store_true",
+                    help="with --large-scale: non-conjugate Bernoulli SVGP "
+                         "natgrad run (gamma=0.2, GH quadrature)")
+    ap.add_argument("--gamma", type=float, default=None,
+                    help="natgrad step size override (default 0.1, or 0.2 "
+                         "with --bernoulli)")
+    ap.add_argument("--m-scale", action="store_true",
+                    help="M-axis scaling rows: SVGP Adam step, natgrad step, "
+                         "full Sobol wall for each M in --m-list")
+    ap.add_argument("--m-list", type=int, nargs="+", default=[512, 1024, 2048])
+    ap.add_argument("--gpr-scale", action="store_true",
+                    help="dense exact-GPR rows (Cholesky/MXU-bound) for each "
+                         "N in --n-list; defaults D=8, depth 2")
+    ap.add_argument("--n-list", type=int, nargs="+", default=[4096, 8192])
+    ap.add_argument("--fit-iters", type=int, default=100,
+                    help="L-BFGS iterations for the --gpr-scale fit wall")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--sobol-naive", action="store_true",
                     help="time a reference-style per-component numpy Sobol "
@@ -667,10 +862,19 @@ def main():
     args = ap.parse_args()
     if args.quick:
         args.n, args.d, args.m, args.steps = 512, 8, 64, 10
+        args.m_list = [64, 128]
+        args.n_list = [256, 512]
+        args.fit_iters = min(args.fit_iters, 30)
     if args.large_scale and args.n == 8192:
         args.n = 1_000_000
         if args.steps == 50:
             args.steps = 100
+    if args.gpr_scale:
+        # dense-GPR defaults (VERDICT r2 #5): D=8, depth 2 unless overridden
+        if args.d == 32:
+            args.d = 8
+        if args.depth == 3:
+            args.depth = 2
 
     if args.verify_leg:
         run_verify_leg(args.verify_leg)
@@ -693,6 +897,12 @@ def main():
         return
     if args.roofline:
         run_roofline(args)
+        return
+    if args.m_scale:
+        run_m_scale(args)
+        return
+    if args.gpr_scale:
+        run_gpr_scale(args)
         return
     if args.large_scale:
         run_large_scale(args)

@@ -279,6 +279,24 @@ def test_full_q_natgrad_stable_at_scale(rng):
     assert L[-3:].mean() < 0.9 * L[:3].mean(), L  # descending, not surviving
 
 
+def test_bernoulli_full_q_natgrad_stable_at_scale(rng):
+    """Non-conjugate large-N regime (reference classification setup,
+    uci_classification_train.py:108-124, at gamma=0.2): the Bernoulli
+    natural-gradient step has no conjugate fixed point, so its stability at
+    inflated num_data is a separate claim from the Gaussian one — pin it.
+    Same minibatch scaling trick as ``_stressed``: small arrays, num_data
+    scaled to 10^6, so the data-term amplification matches the bench's
+    ``--large-scale --bernoulli`` run."""
+    svgp, Xj, Y_lat = _stressed(rng, q_diag=False)
+    svgp = svgp.replace(likelihood=Bernoulli.create("logit"))
+    p = 1.0 / (1.0 + np.exp(-3.0 * np.asarray(Y_lat)[:, 0]))
+    labels = (rng.uniform(size=len(p)) < p).astype(np.float32).reshape(-1, 1)
+    Yj = jnp.asarray(labels)
+    L = _minibatch_natgrad_losses(svgp, Xj, Yj, steps=15, gamma=0.2)
+    assert np.isfinite(L).all(), L
+    assert L[-3:].mean() < 0.9 * L[:3].mean(), L  # descending, not surviving
+
+
 def test_diag_q_natgrad_diverges_at_scale(rng):
     """Pin the documented hazard: the SAME config with a mean-field q blows
     up (this is why natgrad entry points warn on q_diag and why

@@ -438,6 +438,11 @@ def _shard_hint(x: jnp.ndarray, mesh, axes: Tuple[Optional[int], ...]):
 # the f64 CPU parity mode (10.4 GB) still falls back.
 _LADDER_BYTES_CAP = 6 * 1024 ** 3
 
+# Depth-3 einsum fast-path gate: None = auto (accelerators only — on one
+# XLA-CPU core the [D^2, N^2] temp + 2x FLOPs lose to the prefix ladder).
+# Tests force True to exercise the branch (incl. its chunked form) on CPU.
+_DEPTH3_EINSUM = None
+
 
 def _ladder_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,
                       max_order: int, mesh=None) -> dict:
@@ -483,21 +488,36 @@ def _ladder_quadforms(Lstack: jnp.ndarray, a: jnp.ndarray, D: int,
         lasts_j = jnp.asarray(np.asarray(lasts, np.int32))
         vals[k] = ext[rows_j, lasts_j]
         if k < max_order:
-            if (k == 2 and max_order == 3
-                    and D * D * X * itemsize <= _LADDER_BYTES_CAP
-                    and jax.default_backend() != "cpu"):
-                # depth-3 fast path: all triple quadratic forms as ONE
-                # einsum M3[r,l,d] = sum_x Q1[r] Lf[l] Lf[d] — no [C_2, N^2]
-                # prefix materialization and no row gathers (measured 3 ms vs
-                # 18 ms device time at D=32, N=512; over-computes the D^3/6
-                # redundancy but stays MXU-shaped). TPU/accelerator only:
-                # on one XLA-CPU core the [D^2, N^2] temp + 2x FLOPs make it
-                # ~3x SLOWER than the prefix ladder (measured 2.7-3.0 s vs
+            use_einsum = (_DEPTH3_EINSUM if _DEPTH3_EINSUM is not None
+                          else jax.default_backend() != "cpu")
+            if k == 2 and max_order == 3 and use_einsum:
+                # depth-3 fast path: all triple quadratic forms as an einsum
+                # M3[r,l,d] = sum_x Q1[r] Lf[l] Lf[d] — no [C_2, N^2] prefix
+                # materialization and no row gathers (measured 3 ms vs 18 ms
+                # device time at D=32, N=512; over-computes the D^3/6
+                # redundancy but stays MXU-shaped). The pairwise contraction
+                # materializes an [R, D, X] temp, so the r axis is chunked to
+                # keep it under the ladder cap (R >= 1 always holds here: the
+                # top-of-function check already diverted D*X > cap inputs).
+                # Measured at M=2048, D=32 (where the old all-or-nothing cap
+                # check fell through to the gather-product route): 1.52 s ->
+                # 0.052 s full Sobol, chunked == unchunked bit-exact.
+                # TPU/accelerator only: on one XLA-CPU
+                # core the [D^2, N^2] temp + 2x FLOPs make the einsum ~3x
+                # SLOWER than the prefix ladder (measured 2.7-3.0 s vs
                 # 0.935 s full Sobol at the bench config) — backend is
                 # static at trace time, so this is a free branch
                 import itertools as it
 
-                M3 = jnp.einsum("rx,lx,dx->rld", Q, Lf, Lf)
+                R = min(D, int(_LADDER_BYTES_CAP // (D * X * itemsize)))
+                if R >= D:
+                    M3 = jnp.einsum("rx,lx,dx->rld", Q, Lf, Lf)
+                else:
+                    pad = (-D) % R
+                    Qp = jnp.pad(Q, ((0, pad), (0, 0)))
+                    M3 = jax.lax.map(
+                        lambda Qc: jnp.einsum("rx,lx,dx->rld", Qc, Lf, Lf),
+                        Qp.reshape(-1, R, X)).reshape(-1, D, D)[:D]
                 trip = np.asarray(list(it.combinations(range(D), 3)), np.int32)
                 vals[3] = M3[trip[:, 0], trip[:, 1], trip[:, 2]]
                 break

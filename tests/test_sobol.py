@@ -476,3 +476,33 @@ def test_multi_output_gpr_sobol_by_latent(rng):
     # output 0 is a function of dim 0 only; output 1 of dim 1 only
     assert v0[0] > 5 * v0[1]
     assert v1[1] > 5 * v1[0]
+
+
+@pytest.mark.parametrize("chunk", [False, True])
+def test_depth3_einsum_fast_path(rng, monkeypatch, chunk):
+    """The accelerator-only depth-3 triples einsum (all C_3 quadratic forms
+    as one rx,lx,dx->rld contraction, r-chunked under the ladder memory cap)
+    must be value-identical to the prefix-ladder/gather route. Forced on via
+    _DEPTH3_EINSUM since the CPU suite would otherwise never trace it."""
+    n, d = 48, 6
+    X = rng.normal(size=(n, d))
+    y = np.sin(X.sum(axis=1, keepdims=True))
+    k = OAKKernel.create(num_dims=d, max_interaction_depth=3)
+    # tiny lengthscale on dim 0 disables the factor route so every order
+    # goes through the ladder (same trick as the nonfactor-routing test)
+    ks = list(k.kernels)
+    small = ks[0].replace(lengthscale=ks[0].lengthscale.replace(
+        raw=jnp.asarray(np.log(np.expm1(0.05)))))
+    k = k.replace(kernels=tuple([small] + ks[1:]))
+    m = GPR.create(X, y, k, noise_variance=0.1)
+    assert not all(sb._usable_factor(kk) for kk in m.kernel.kernels)
+    monkeypatch.setattr(sb, "_DEPTH3_EINSUM", True)
+    if chunk:
+        # cap sized so R=2 rows per einsum chunk (but above the top-of-
+        # function D*X*itemsize divert threshold)
+        itemsize = np.dtype(m.data[0].dtype).itemsize
+        monkeypatch.setattr(sb, "_LADDER_BYTES_CAP", 2 * d * n * n * itemsize)
+    tuples, vals = sb.compute_sobol_oak(m)
+    naive_tuples, naive_vals = _naive_component_sobol(m, 3)
+    assert [tuple(t) for t in tuples] == [tuple(t) for t in naive_tuples]
+    np.testing.assert_allclose(vals, naive_vals, rtol=1e-6, atol=1e-12)

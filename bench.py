@@ -502,7 +502,7 @@ def run_gpr_scale(args):
 
     from oak_tpu.kernels import OAKKernel
     from oak_tpu.models import GPR
-    from oak_tpu.optim.fit import _vector_loss, lbfgs_loop
+    from oak_tpu.optim.fit import _vector_loss, lbfgs_parts
     from oak_tpu.params import flatten_trainable
 
     rows = []
@@ -532,24 +532,43 @@ def run_gpr_scale(args):
 
         sps, _, loss_l = _time_scan_steps(train, vec0, args.steps)
 
-        # warm L-BFGS fit wall: build the while_loop once, warm it, time it
+        # warm L-BFGS fit wall, run in bounded 10-iteration dispatches via
+        # lbfgs_parts (the production fit_lbfgs checkpoint_every path): a
+        # single while_loop dispatch spanning the whole N=8192 fit runs for
+        # minutes and reproducibly crashes the axon relay's TPU worker
+        # ("kernel fault" — a long-running-program watchdog, not OOM; the
+        # 24 s N=4096 single dispatch survives). Chunking bounds every
+        # dispatch; the while_loop chunking is exact (carry = full state).
         v0, _unf, loss_vec = _vector_loss(model, lambda mm: mm.training_loss())
-        run = jax.jit(lbfgs_loop(loss_vec, args.fit_iters, 1e-8, 30))
-        out = run(v0)
-        jax.device_get(out[1])  # warmup/compile
+        init, run_range, stats = lbfgs_parts(loss_vec, 1e-8, 30)
+        run_chunk = jax.jit(run_range)
+
+        def lbfgs_fit():
+            vec, state, it = v0, init(v0), 0
+            limit = 0
+            while limit < args.fit_iters:
+                limit = min(limit + 10, args.fit_iters)
+                vec, state, it_arr = run_chunk(vec, state, it, limit)
+                it = int(jax.device_get(it_arr))
+                if it < limit:
+                    break  # converged inside the chunk
+            value, _ = stats(state)
+            return it, float(jax.device_get(value))
+
+        lbfgs_fit()  # warmup/compile
         fit_wall = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            out = run(v0)
-            jax.device_get(out[1])
+            iters, lbfgs_loss = lbfgs_fit()
             fit_wall = min(fit_wall, time.perf_counter() - t0)
 
         rows.append({"n": n,
                      "loss_grad_steps_per_sec": round(sps, 2),
                      "lbfgs_fit_wall_s": round(fit_wall, 3),
-                     "lbfgs_iters": int(jax.device_get(out[3])),
-                     "final_lbfgs_loss": float(jax.device_get(out[1])),
+                     "lbfgs_iters": iters,
+                     "final_lbfgs_loss": lbfgs_loss,
                      "final_adam_loss": float(jax.device_get(loss_l))})
+        print(f"# gpr-scale row done: {rows[-1]}", file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "gpr_dense_scaling",
         "config": f"D={args.d} depth={args.depth} f32 "

@@ -578,6 +578,93 @@ def run_gpr_scale(args):
     }))
 
 
+def run_predict(args):
+    """Inference-path latency/throughput — the serving half of the perf
+    matrix (training steps/s is the other half). Two variants per batch
+    size, at the trained posterior shape (M, D, depth from args):
+
+    - "served": the model is closed over as a jit constant — the
+      jax.export serving-artifact configuration (serving.py bakes
+      parameters in as constants). Inside the timing scan the
+      X-independent [M, M] Kuu chain is loop-invariant, so the per-call
+      slope is the steady-state marginal cost: [batch, M] gram + GEMMs.
+    - "cold": the flat trainable vector is perturbed by the carry each
+      rep, so EVERY call re-runs the whole X-independent chain (per-dim
+      Kuu grams, Newton-Girard, Cholesky) — the cost when parameters
+      change between calls (e.g. predict inside a training loop).
+
+    Timing per the relay rules (see _time_scan_steps): per-call time is
+    the slope between a 10-rep and a 40-rep scan, with a data dependence
+    chained through the scan carry (repeated IDENTICAL dispatches pipeline
+    to apparent-zero cost through the relay), ending in a device_get of
+    one scalar.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from oak_tpu.params import flatten_trainable
+
+    model, X, _ = _build_model(args)
+    vec0, unflatten = flatten_trainable(model)
+
+    def timed(run_reps, Xb):
+        r1, r2 = 10, 40
+        jax.device_get(run_reps(Xb, r1))  # warmup/compile both lengths
+        jax.device_get(run_reps(Xb, r2))
+        t1 = t2 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(run_reps(Xb, r1))
+            t1 = min(t1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            jax.device_get(run_reps(Xb, r2))
+            t2 = min(t2, time.perf_counter() - t0)
+        return max(t2 - t1, 1e-9) / (r2 - r1)
+
+    @functools.partial(jax.jit, static_argnames="reps")
+    def run_baked(Xb, reps):
+        def one(carry, _):
+            mean, var = model.predict_f(Xb + carry)
+            return (jnp.sum(mean) + jnp.sum(var)) * jnp.float32(1e-30), None
+        carry, _ = jax.lax.scan(one, jnp.float32(0.0), None, length=reps)
+        return carry
+
+    @functools.partial(jax.jit, static_argnames="reps")
+    def run_cold(vec, Xb, reps):
+        def one(carry, _):
+            # perturbing the trainables defeats loop-invariant hoisting of
+            # the X-independent chain; 1e-30 * carry is numerically nil
+            m = unflatten(vec + carry)
+            mean, var = m.predict_f(Xb + carry)
+            return (jnp.sum(mean) + jnp.sum(var)) * jnp.float32(1e-30), None
+        carry, _ = jax.lax.scan(one, jnp.float32(0.0), None, length=reps)
+        return carry
+
+    rows = []
+    for batch in (1, 256, 4096):
+        Xb = jnp.asarray(X[:batch] if batch <= len(X) else
+                         np.tile(X, (batch // len(X) + 1, 1))[:batch])
+        t_served = timed(run_baked, Xb)
+        t_cold = timed(lambda xb, r: run_cold(vec0, xb, r), Xb)
+        rows.append({
+            "batch": batch,
+            "served_ms_per_call": round(t_served * 1e3, 4),
+            "served_rows_per_sec": round(batch / t_served, 1),
+            "cold_ms_per_call": round(t_cold * 1e3, 4),
+            "cold_rows_per_sec": round(batch / t_cold, 1),
+        })
+        print(f"# predict row done: {rows[-1]}", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "predict_latency",
+        "config": f"D={args.d} M={args.m} depth={args.depth} "
+                  "mean+var (predict_f)",
+        "backend": jax.default_backend(),
+        "rows": rows,
+    }))
+
+
 def run_roofline(args):
     """VPU ceilings vs achieved gram throughput — the measurement behind the
     Pallas-retirement roofline in BASELINE.md. Methodology: probe bodies are
@@ -866,6 +953,9 @@ def main():
     ap.add_argument("--fit-iters", type=int, default=100,
                     help="L-BFGS iterations for the --gpr-scale fit wall")
     ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--predict", action="store_true",
+                    help="inference/serving latency rows (served vs cold "
+                         "predict_f across batch sizes)")
     ap.add_argument("--sobol-naive", action="store_true",
                     help="time a reference-style per-component numpy Sobol "
                          "loop (the GPflow-CPU stand-in baseline)")
@@ -901,6 +991,10 @@ def main():
 
     import jax
 
+    # persistent compile cache (same dir as tests/conftest.py): repeat bench
+    # runs skip the 20-40 s first-compile on both backends
+    jax.config.update("jax_compilation_cache_dir", "/tmp/oak_tpu_jax_cache")
+
     if args.cpu:
         # the image's sitecustomize pins jax_platforms to "axon,cpu"
         jax.config.update("jax_platforms", "cpu")
@@ -922,6 +1016,9 @@ def main():
         return
     if args.gpr_scale:
         run_gpr_scale(args)
+        return
+    if args.predict:
+        run_predict(args)
         return
     if args.large_scale:
         run_large_scale(args)

@@ -145,7 +145,15 @@ class oak_model:
 
     # ------------------------------------------------------------------ #
     def fit(self, X, Y, optimise: bool = True,
-            initialise_inducing_points: bool = True) -> "oak_model":
+            initialise_inducing_points: bool = True,
+            restarts: int = 0) -> "oak_model":
+        """``restarts`` is forwarded to :meth:`optimise` — the recommended
+        robust mode on f32 hardware is ``fit(X, Y, restarts=4)``: single-start
+        L-BFGS trajectories at f32 can converge to a worse stationary point
+        (measured grad-norm 5.6e-5, i.e. a genuine local optimum that no
+        single-run diagnostic can flag — BASELINE.md "Verify-gate redesign");
+        the batched multistart keeps the best healthy basin by training
+        loss."""
         t0 = time.time()
         X = np.asarray(X, np.float64)
         Y = np.asarray(Y, np.float64)
@@ -286,7 +294,7 @@ class oak_model:
 
         self.timings["fit_setup"] = time.time() - t0
         if optimise:
-            self.optimise()
+            self.optimise(restarts=restarts)
         return self
 
     # ------------------------------------------------------------------ #

@@ -183,3 +183,19 @@ def test_oak_model_restarts_with_adam_and_natgrad(rng):
     oaks.fit(X, y, optimise=False)
     with pytest.raises(ValueError, match="scipy"):
         oaks.optimise(max_iters=5, restarts=2)
+
+
+def test_fit_restarts_kwarg(rng):
+    # fit(X, y, restarts=K) — the one-call production-robust mode — forwards
+    # to optimise(restarts=K) and routes through the parallel multistart
+    from oak_tpu.model import oak_model
+
+    X = rng.normal(size=(40, 2))
+    y = (np.sin(X[:, 0]) + 0.3 * X[:, 1]).reshape(-1, 1) \
+        + 0.05 * rng.normal(size=(40, 1))
+    oak = oak_model(max_interaction_depth=2)
+    oak.fit(X, y, restarts=2)
+    pred = oak.predict(X)
+    rmse = float(np.sqrt(np.mean((pred - y[:, 0]) ** 2)))
+    base = float(np.sqrt(np.mean((y - y.mean()) ** 2)))
+    assert rmse < base

@@ -64,35 +64,51 @@ def _build_model(args, q_diag=True, likelihood="gaussian"):
     return model, X, Y
 
 
-def _time_scan_steps(train, vec0, steps):
-    """steps/s of a jitted ``train(vec, steps) -> (vec, loss)`` scan.
+def _slope_time(run_at, short, long, reps=2):
+    """Per-UNIT wall-seconds of a jitted device computation, measured as the
+    SLOPE between a short and a long run — the one timing methodology every
+    bench mode shares.
 
-    Timer boundaries use device_get, NOT block_until_ready: through the axon
-    socket relay block_until_ready returns before the device has drained
-    (measured: block 0.48 s vs true 2.9 s on a 500-matmul scan). Per-step
-    time is the SLOPE between a short and a 3x-long run (best-of-2 each):
-    the relay's ~30 ms fetch RTT is a constant, so subtracting the two runs
-    cancels it instead of amortizing it into the step time."""
+    ``run_at(n)`` must execute n units on device and return
+    ``(small_fetchable, payload)``. Timer boundaries use device_get of the
+    small result, NOT block_until_ready: through the axon socket relay
+    block_until_ready returns before the device has drained (measured:
+    block 0.48 s vs true 2.9 s on a 500-matmul scan). The relay's ~30 ms
+    fetch RTT is a constant, so the long-minus-short subtraction cancels it
+    instead of amortizing it into the unit time. Both lengths are warmed
+    (compile) before timing; best-of-``reps`` each; any host-side work in
+    ``run_at`` must be identical across lengths or it biases the slope.
+
+    Returns ``(seconds_per_unit, payload_of_long_run)``."""
     import jax
 
-    s1, s2 = steps, 3 * steps
-    vec, loss = train(vec0, s1)  # warmup/compile
-    jax.device_get(loss)
-    vec_l, loss_l = train(vec0, s2)
-    jax.device_get(loss_l)
+    fetch, _ = run_at(short)  # warmup/compile both lengths
+    jax.device_get(fetch)
+    fetch, payload = run_at(long)
+    jax.device_get(fetch)
 
     t_short = t_long = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        vec, loss = train(vec0, s1)
-        jax.device_get(loss)
+        fetch, _ = run_at(short)
+        jax.device_get(fetch)
         t_short = min(t_short, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        vec_l, loss_l = train(vec0, s2)
-        jax.device_get(loss_l)
+        fetch, payload = run_at(long)
+        jax.device_get(fetch)
         t_long = min(t_long, time.perf_counter() - t0)
-    steps_per_sec = (s2 - s1) / max(t_long - t_short, 1e-9)
-    return steps_per_sec, vec_l, loss_l
+    return max(t_long - t_short, 1e-9) / (long - short), payload
+
+
+def _time_scan_steps(train, vec0, steps):
+    """steps/s of a jitted ``train(vec, steps) -> (vec, loss)`` scan via
+    ``_slope_time`` (short = steps, long = 3x)."""
+    def run_at(n):
+        vec, loss = train(vec0, n)
+        return loss, (vec, loss)
+
+    sec_per_step, (vec_l, loss_l) = _slope_time(run_at, steps, 3 * steps)
+    return 1.0 / sec_per_step, vec_l, loss_l
 
 
 def run_bench(args):
@@ -344,23 +360,20 @@ def _time_natgrad(model, Xj, Yj, n, batch, steps, gamma):
         (vec, _), losses = jax.lax.scan(one, (vec, opt.init(vec)), idx)
         return vec, losses[0], losses[-1]
 
-    vec, l0, loss = run(vec0, make_idx(1))  # warmup/compile
-    jax.device_get(loss)
-    idx_long = jnp.concatenate([make_idx(2), make_idx(3), make_idx(4)])
-    vec_l, l0_l, loss_l = run(vec0, idx_long)
-    jax.device_get(loss_l)
-    t_short = t_long = float("inf")
-    for rep in range(2):
-        t0 = time.perf_counter()
-        vec, l0, loss = run(vec0, make_idx(2))
-        jax.device_get(loss)
-        t_short = min(t_short, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        vec_l, l0_l, loss_l = run(vec0, idx_long)
-        jax.device_get(loss_l)
-        t_long = min(t_long, time.perf_counter() - t0)
-    dt = max(t_long - t_short, 1e-9) / 2  # time of T steps, RTT-free
-    return (T / dt, float(jax.device_get(l0_l)), float(jax.device_get(loss_l)))
+    # both index tensors prebuilt OUTSIDE the timed region — host-side RNG
+    # inside run_at would bias the slope (it runs once per length, not per
+    # step, so short and long would carry unequal host time)
+    idx_short = make_idx(2)
+    idx_long = jnp.concatenate([idx_short, make_idx(3), make_idx(4)])
+
+    def run_at(n_steps):
+        vec_o, l0_o, loss_o = run(
+            vec0, idx_short if n_steps == T else idx_long)
+        return loss_o, (l0_o, loss_o)
+
+    sec_per_step, (l0_l, loss_l) = _slope_time(run_at, T, 3 * T)
+    return (1.0 / sec_per_step, float(jax.device_get(l0_l)),
+            float(jax.device_get(loss_l)))
 
 
 def run_large_scale(args):
@@ -610,18 +623,9 @@ def run_predict(args):
     vec0, unflatten = flatten_trainable(model)
 
     def timed(run_reps, Xb):
-        r1, r2 = 10, 40
-        jax.device_get(run_reps(Xb, r1))  # warmup/compile both lengths
-        jax.device_get(run_reps(Xb, r2))
-        t1 = t2 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.device_get(run_reps(Xb, r1))
-            t1 = min(t1, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            jax.device_get(run_reps(Xb, r2))
-            t2 = min(t2, time.perf_counter() - t0)
-        return max(t2 - t1, 1e-9) / (r2 - r1)
+        sec_per_call, _ = _slope_time(
+            lambda r: (run_reps(Xb, r), None), 10, 40, reps=3)
+        return sec_per_call
 
     @functools.partial(jax.jit, static_argnames="reps")
     def run_baked(Xb, reps):
@@ -910,7 +914,11 @@ def run_verify(args):
 
     # ---- Gate B first: subprocess legs, run before this process touches
     # the TPU — the axon relay serves one client at a time ----
-    save_path = os.path.join(tempfile.gettempdir(), "oak_verify_model.npz")
+    # per-run temp path: a fixed /tmp name would let two concurrent --verify
+    # runs delete/load each other's matched-parameters model
+    fd, save_path = tempfile.mkstemp(prefix="oak_verify_model_",
+                                     suffix=".npz")
+    os.close(fd)
 
     def run_leg(leg, extra=()):
         proc = subprocess.run(
@@ -925,14 +933,18 @@ def run_verify(args):
                     "_error"] = (proc.stderr or proc.stdout)[-2000:]
             return None
 
-    if os.path.exists(save_path):
-        os.remove(save_path)  # never matched-load a stale model
-    cpu64 = run_leg("cpu64", ("--verify-save", save_path))
-    tpu32_matched = (run_leg("tpu32", ("--verify-load", save_path))
-                     if cpu64 and os.path.exists(save_path) else None)
-    cpu64_ms = run_leg("cpu64", ("--verify-restarts", "4"))
-    tpu32_ms = run_leg("tpu32", ("--verify-restarts", "4"))
-    tpu32_single = run_leg("tpu32")
+    os.remove(save_path)  # mkstemp pre-creates it; never matched-load a
+    # stale/empty model — existence below means the cpu64 leg really saved
+    try:
+        cpu64 = run_leg("cpu64", ("--verify-save", save_path))
+        tpu32_matched = (run_leg("tpu32", ("--verify-load", save_path))
+                         if cpu64 and os.path.exists(save_path) else None)
+        cpu64_ms = run_leg("cpu64", ("--verify-restarts", "4"))
+        tpu32_ms = run_leg("tpu32", ("--verify-restarts", "4"))
+        tpu32_single = run_leg("tpu32")
+    finally:
+        if os.path.exists(save_path):
+            os.remove(save_path)
 
     if cpu64 and tpu32_matched:
         nll_diff = abs(cpu64["nll"] - tpu32_matched["nll"])

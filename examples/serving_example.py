@@ -23,14 +23,6 @@ except ImportError:  # uninstalled checkout: put the repo root on the path
     from oak_tpu import deserialize_predict, oak_model, serialize_predict
 
 
-import os
-
-if os.environ.get("OAK_TPU_PLATFORM"):  # e.g. "cpu" for baseline runs/tests
-    import jax
-
-    jax.config.update("jax_platforms", os.environ["OAK_TPU_PLATFORM"])
-
-
 def main():
     import argparse
 

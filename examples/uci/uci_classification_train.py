@@ -18,14 +18,7 @@ try:  # installed package (pip install -e .)
     import oak_tpu  # noqa: F401
 except ImportError:  # uninstalled checkout: put the repo root on the path
     sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
-
-import os
-
-if os.environ.get("OAK_TPU_PLATFORM"):  # e.g. "cpu" for baseline runs/tests
-    import jax
-
-    jax.config.update("jax_platforms", os.environ["OAK_TPU_PLATFORM"])
-
+    import oak_tpu  # noqa: F401  (runs the OAK_TPU_PLATFORM hook now)
 
 try:
     from datasets import load_classification

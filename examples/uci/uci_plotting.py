@@ -13,6 +13,7 @@ try:  # installed package (pip install -e .)
     import oak_tpu  # noqa: F401
 except ImportError:  # uninstalled checkout: put the repo root on the path
     sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+    import oak_tpu  # noqa: F401  (runs the OAK_TPU_PLATFORM hook now)
 
 # Feature-name tables for all 10 datasets (reference :19-96; the reference
 # keys housing as "Housing" — both spellings are accepted below)
@@ -38,14 +39,6 @@ COVARIATE_NAMES = {
               "thelach", "exang", "oldpeak", "slope", "ca", "thal"],
 }
 COVARIATE_NAMES["Housing"] = COVARIATE_NAMES["housing"]
-
-
-import os
-
-if os.environ.get("OAK_TPU_PLATFORM"):  # e.g. "cpu" for baseline runs/tests
-    import jax
-
-    jax.config.update("jax_platforms", os.environ["OAK_TPU_PLATFORM"])
 
 
 def main():

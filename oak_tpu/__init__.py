@@ -7,6 +7,22 @@ pure-functional kernels and models as parameter pytrees, jitted losses, fused
 gram construction, and sharding-ready training steps.
 """
 
+import os as _os
+
+if _os.environ.get("OAK_TPU_PLATFORM"):
+    # Testing/baseline hook (e.g. "cpu"): force the JAX platform list once,
+    # here, instead of per-script — this image's sitecustomize rewrites
+    # jax_platforms to "axon,cpu" so a plain JAX_PLATFORMS env var does not
+    # stick, and config.update must run after importing jax but before any
+    # backend initialization. Best-effort: a no-op if a backend already
+    # initialized (the importer chose a platform first, keep it).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["OAK_TPU_PLATFORM"])
+    except RuntimeError:
+        pass
+
 from . import bijectors, config, measures, params
 from .kernels import (
     OAKKernel,

@@ -502,6 +502,11 @@ def test_depth3_einsum_fast_path(rng, monkeypatch, chunk):
         # function D*X*itemsize divert threshold)
         itemsize = np.dtype(m.data[0].dtype).itemsize
         monkeypatch.setattr(sb, "_LADDER_BYTES_CAP", 2 * d * n * n * itemsize)
+    # _sobol_values_jit's cache key is (treedef, avals, statics) — the cap
+    # and the einsum toggle are read at TRACE time, so a cached executable
+    # from the other parametrization (or any earlier same-structure test)
+    # would be reused and the branch under test never traced
+    sb._sobol_values_jit.clear_cache()
     tuples, vals = sb.compute_sobol_oak(m)
     naive_tuples, naive_vals = _naive_component_sobol(m, 3)
     assert [tuple(t) for t in tuples] == [tuple(t) for t in naive_tuples]

@@ -293,3 +293,161 @@ def print_summary(module, fmt: str = "simple") -> None:
     from .utils.summary import print_summary as _f
 
     _f(module, fmt=fmt)
+
+
+# --------------------------------------------------------------------------- #
+# class names — input_measures.py, kernels, normalising_flow.py
+#
+# The factories below carry the reference classes' EXACT constructor
+# signatures and return the native oak_tpu pytree classes (isinstance checks
+# should target oak_tpu.measures / oak_tpu.kernels types — the returned
+# objects ARE those types).
+# --------------------------------------------------------------------------- #
+from .measures import Measure  # noqa: F401,E402  (input_measures.py:16)
+
+
+def UniformMeasure(a, b):
+    """Reference input_measures.py:20-28 -> oak_tpu.measures.UniformMeasure."""
+    from .measures import UniformMeasure as _M
+
+    return _M.create(a, b)
+
+
+def GaussianMeasure(mu, var):
+    """Reference input_measures.py:31-39 -> oak_tpu.measures.GaussianMeasure."""
+    from .measures import GaussianMeasure as _M
+
+    return _M.create(mu, var)
+
+
+def EmpiricalMeasure(location, weights=None):
+    """Reference input_measures.py:42-56 -> oak_tpu.measures.EmpiricalMeasure
+    (default uniform weights; sum-to-1 validated like input_measures.py:53)."""
+    from .measures import EmpiricalMeasure as _M
+
+    return _M.create(location, weights)
+
+
+def MOGMeasure(means, variances, weights):
+    """Reference input_measures.py:59-78 -> oak_tpu.measures.MOGMeasure."""
+    from .measures import MOGMeasure as _M
+
+    return _M.create(means, variances, weights)
+
+
+class RBF:
+    """Stand-in for ``gpflow.kernels.RBF`` as the ``base_kernel`` argument of
+    ``OrthogonalRBFKernel`` (the reference constructs one purely to carry
+    initial lengthscales/variance, ortho_rbf_kernel.py:28-35)."""
+
+    def __init__(self, variance=1.0, lengthscales=1.0, active_dims=None):
+        self.variance = variance
+        self.lengthscales = lengthscales
+        self.active_dims = active_dims
+
+
+def _active_dim(active_dims) -> int:
+    if active_dims is None:
+        return 0
+    if isinstance(active_dims, (list, tuple, np.ndarray)):
+        (dim,) = np.asarray(active_dims).reshape(-1).tolist()
+        return int(dim)
+    return int(active_dims)
+
+
+def OrthogonalRBFKernel(base_kernel, measure, active_dims=None):
+    """Reference ortho_rbf_kernel.py:20-45 constructor ->
+    oak_tpu.kernels.OrthogonalRBF. ``base_kernel`` supplies the initial
+    lengthscales/variance (an ``RBF``-shaped object; anything without those
+    attributes raises NotImplementedError like the reference's base-kernel
+    type check at ortho_rbf_kernel.py:34-35)."""
+    from . import measures as _measures
+    from .kernels import OrthogonalRBF
+
+    if not isinstance(measure, (_measures.UniformMeasure,
+                                _measures.GaussianMeasure,
+                                _measures.EmpiricalMeasure,
+                                _measures.MOGMeasure)):
+        raise NotImplementedError(f"unsupported measure {type(measure).__name__}")
+    if base_kernel is None:
+        ls, var = 1.0, 1.0
+    else:
+        try:
+            ls = float(np.asarray(base_kernel.lengthscales))
+            var = float(np.asarray(base_kernel.variance))
+        except AttributeError:
+            raise NotImplementedError(
+                "base_kernel must be RBF-shaped (needs .lengthscales and "
+                ".variance; see oak_tpu.compat.RBF)") from None
+    return OrthogonalRBF.create(measure, lengthscale=ls, variance=var,
+                                active_dim=_active_dim(active_dims))
+
+
+def OAKKernel(base_kernels, num_dims, max_interaction_depth,
+              active_dims=None, constrain_orthogonal=False, p0=None, p=None,
+              lengthscale_bounds=None, empirical_locations=None,
+              empirical_weights=None, gmm_measures=None,
+              share_var_across_orders=True):
+    """Reference oak_kernel.py:59-103 positional constructor ->
+    oak_tpu.kernels.OAKKernel. ``base_kernels`` (a list of kernel CLASSES the
+    reference deletes after __init__, oak_kernel.py:88-91) is accepted and
+    ignored; the continuous base is always RBF, the only base the reference
+    supports."""
+    del base_kernels
+    from .kernels import OAKKernel as _OAKKernel
+
+    return _OAKKernel.create(
+        num_dims=num_dims, max_interaction_depth=max_interaction_depth,
+        active_dims=active_dims, constrain_orthogonal=constrain_orthogonal,
+        p0=p0, p=p, lengthscale_bounds=lengthscale_bounds,
+        empirical_locations=empirical_locations,
+        empirical_weights=empirical_weights, gmm_measures=gmm_measures,
+        share_var_across_orders=share_var_across_orders)
+
+
+def Normalizer(x, log=True, **kwargs):
+    """Reference normalising_flow.py:30-56 constructor ->
+    oak_tpu.flows.Normalizer (SinhArcsinh ∘ affine (∘ log) bijector chain
+    with KL_objective/kstest/plot). ``**kwargs`` (gpflow Module naming)
+    accepted and ignored."""
+    del kwargs
+    from .flows import Normalizer as _Normalizer
+
+    return _Normalizer.create(np.asarray(x), log=log)
+
+
+# Sobol closed-form integrals (utils.py:116-165) — identical signatures.
+f1 = _sobol.f1
+f2 = _sobol.f2
+f3 = _sobol.f3
+f4 = _sobol.f4
+
+# model_utils.py / oak_kernel.py / plotting_utils.py names resolved lazily so
+# that importing the compat surface does not pull in matplotlib (plotting) or
+# the full model stack until first use.
+_LAZY = {
+    "oak_model": ".model",             # model_utils.py:194
+    "create_model_oak": ".model",      # model_utils.py:90
+    "KernelComponenent": ".kernels.oak_kernel",  # oak_kernel.py:281 [sic]
+    "KernelComponent": ".kernels.oak_kernel",    # corrected-name alias
+    "FigureDescription": ".plotting",            # plotting_utils.py:19
+    "save_fig_list": ".plotting",                # plotting_utils.py:25
+    "plot_single_effect": ".plotting",           # plotting_utils.py:36
+    "plot_second_order": ".plotting",            # plotting_utils.py:218
+    "plot_single_effect_binary": ".plotting",    # plotting_utils.py:378
+    "plot_second_order_binary": ".plotting",     # plotting_utils.py:456
+    "plot_single_effect_categorical": ".plotting",  # plotting_utils.py:602
+}
+
+
+def __getattr__(name):
+    mod = _LAZY.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod, __package__), name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))

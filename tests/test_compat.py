@@ -117,28 +117,124 @@ def test_private_calculate_features_alias(rng):
 
 
 def test_every_reference_public_name_exists():
-    """Every public function the reference exports (oak/utils.py,
-    model_utils.py, oak_kernel.py, normalising_flow.py module surfaces that
-    example/user code imports) resolves in oak_tpu.compat."""
+    """EVERY top-level public name the reference package exports (the union
+    of public classes/functions across all 9 oak/*.py modules, enumerated by
+    AST walk) resolves in oak_tpu.compat — the complete one-module drop-in
+    surface."""
     from oak_tpu import compat
 
     reference_names = [
+        # input_measures.py
+        "Measure", "UniformMeasure", "GaussianMeasure", "EmpiricalMeasure",
+        "MOGMeasure",
+        # ortho_{rbf,binary,categorical}_kernel.py
+        "OrthogonalRBFKernel", "OrthogonalBinary", "OrthogonalCategorical",
+        # oak_kernel.py
+        "bounded_param", "OAKKernel", "KernelComponenent",
+        "get_list_representation",
+        # normalising_flow.py
+        "make_sinharcsinh", "make_standardizer", "Normalizer",
+        # model_utils.py
+        "get_kmeans_centers", "save_model", "load_model", "create_model_oak",
+        "apply_normalise_flow", "oak_model", "estimate_one_dim_gmm",
         # utils.py
+        "model_to_kernel_list", "extract_active_dims", "grammer_to_kernel",
+        "f1", "f2", "f3", "f4", "get_model_sufficient_statistics",
         "compute_L", "compute_L_binary_kernel", "compute_L_categorical_kernel",
         "compute_L_empirical_measure", "compute_sobol_oak", "compute_sobol",
-        "get_model_sufficient_statistics", "get_prediction_component",
-        "model_to_kernel_list", "extract_active_dims", "grammer_to_kernel",
-        "initialize_kmeans_with_binary", "initialize_kmeans_with_categorical",
-        # model_utils.py
-        "save_model", "load_model", "get_kmeans_centers",
-        "estimate_one_dim_gmm", "apply_normalise_flow",
-        # oak_kernel.py
-        "bounded_param", "get_list_representation",
-        # normalising_flow.py
-        "make_sinharcsinh", "make_standardizer",
+        "get_prediction_component", "initialize_kmeans_with_binary",
+        "initialize_kmeans_with_categorical",
+        # plotting_utils.py
+        "FigureDescription", "save_fig_list", "plot_single_effect",
+        "plot_second_order", "plot_single_effect_binary",
+        "plot_second_order_binary", "plot_single_effect_categorical",
     ]
     missing = [n for n in reference_names if not callable(getattr(compat, n, None))]
     assert not missing, f"compat surface missing: {missing}"
+
+
+def test_measure_factories_return_native_types():
+    from oak_tpu import measures
+
+    g = compat.GaussianMeasure(0.0, 1.0)
+    assert isinstance(g, measures.GaussianMeasure)
+    u = compat.UniformMeasure(-1.0, 1.0)
+    assert isinstance(u, measures.UniformMeasure)
+    e = compat.EmpiricalMeasure(np.linspace(0, 1, 4))
+    assert isinstance(e, measures.EmpiricalMeasure)
+    np.testing.assert_allclose(np.asarray(e.weights).sum(), 1.0)
+    m = compat.MOGMeasure([0.0, 1.0], [1.0, 2.0], [0.5, 0.5])
+    assert isinstance(m, measures.MOGMeasure)
+    # the reference's sum-to-1 asserts (input_measures.py:53,71)
+    with pytest.raises(ValueError):
+        compat.EmpiricalMeasure([0.0, 1.0], [0.7, 0.7])
+    with pytest.raises(ValueError):
+        compat.MOGMeasure([0.0], [1.0], [0.5])
+
+
+def test_orthogonal_rbf_kernel_reference_ctor(rng):
+    """compat.OrthogonalRBFKernel(base_kernel, measure, active_dims) carries
+    the base kernel's hyperparameters into the native OrthogonalRBF and
+    rejects non-RBF bases / unsupported measures like the reference
+    (ortho_rbf_kernel.py:34-45)."""
+    from oak_tpu.kernels import ortho_rbf
+
+    k = compat.OrthogonalRBFKernel(compat.RBF(variance=1.5, lengthscales=0.7),
+                                   compat.GaussianMeasure(0.0, 1.0),
+                                   active_dims=[2])
+    assert isinstance(k, OrthogonalRBF)
+    assert k.active_dim == 2
+    np.testing.assert_allclose(float(k.lengthscale.value), 0.7, rtol=1e-6)
+    np.testing.assert_allclose(float(k.variance.value), 1.5, rtol=1e-6)
+    x = rng.normal(size=8)
+    K = np.asarray(ortho_rbf.K(k, x, x))
+    assert K.shape == (8, 8)
+    with pytest.raises(NotImplementedError):
+        compat.OrthogonalRBFKernel(object(), compat.GaussianMeasure(0.0, 1.0))
+    with pytest.raises(NotImplementedError):
+        compat.OrthogonalRBFKernel(compat.RBF(), "not a measure")
+
+
+def test_oak_kernel_reference_ctor(rng):
+    """compat.OAKKernel takes the reference's positional signature
+    (oak_kernel.py:59-74): base_kernels list first (ignored after init like
+    the reference), constrain_orthogonal defaults False."""
+    import jax.numpy as jnp
+
+    from oak_tpu.kernels import UnconstrainedRBF
+
+    k = compat.OAKKernel([None] * 3, 3, 2, constrain_orthogonal=True,
+                         share_var_across_orders=True)
+    assert isinstance(k, OAKKernel)
+    assert k.num_dims == 3 and k.max_interaction_depth == 2
+    X = jnp.asarray(rng.normal(size=(6, 3)))
+    assert np.asarray(k.K(X)).shape == (6, 6)
+    # default constrain_orthogonal=False -> plain (unconstrained) RBF dims
+    ku = compat.OAKKernel([None] * 2, 2, 1)
+    assert all(isinstance(kd, UnconstrainedRBF) for kd in ku.kernels)
+
+
+def test_normalizer_reference_ctor(rng):
+    from oak_tpu import flows
+
+    x = np.exp(rng.normal(size=50))
+    n = compat.Normalizer(x, log=True, name="ref-kwarg-accepted")
+    assert isinstance(n, flows.Normalizer)
+    assert np.isfinite(float(n.KL_objective(x)))
+
+
+def test_lazy_names_resolve():
+    """Plotting/model names resolve through the lazy module __getattr__ and
+    are the canonical objects."""
+    import oak_tpu.plotting as P
+    from oak_tpu.model import oak_model as native_oak_model
+
+    assert compat.plot_single_effect is P.plot_single_effect
+    assert compat.FigureDescription is P.FigureDescription
+    assert compat.oak_model is native_oak_model
+    assert "plot_second_order_binary" in dir(compat)
+    with pytest.raises(AttributeError):
+        compat.no_such_reference_name
 
 
 def test_compat_sobol_and_components_roundtrip(rng):

@@ -766,6 +766,212 @@ def run_roofline(args):
     print(json.dumps(out))
 
 
+def run_roofline_chol(args):
+    """TPU factorization roofline (VERDICT r3 task 1) — measure the chip's
+    attainable Cholesky / triangular-inverse rates at the [S, S] sizes the
+    Cholesky-bound BASELINE.md rows run at, against the MXU GEMM rate at the
+    SAME shape, then state what fraction of each measured step the
+    factorization chain explains.
+
+    Methodology: per-op cost is the slope between a short and a long
+    dependent-op `lax.scan` (same RTT cancellation as every other bench
+    mode); the chain dependence is a scalar tapped from the previous result
+    and injected at 1e-24 (values stay fixed, folding/pipelining are
+    impossible); operands are real jit ARGUMENTS (a closed-over [S, S]
+    constant would be baked into the executable and shipped through the
+    relay). `*_grad` probes time jax.grad of the op — forward + VJP, what a
+    training step actually pays. Useful-FLOP conventions: GEMM 2S^3,
+    Cholesky S^3/3, triangular inverse S^3/3 (the structure-exploiting
+    count; XLA's trsm-vs-identity does more).
+
+    Step accounting (the `steps` block): each measured step gets a
+    `factorization_floor_ms` — the sum of its serial [M, M]/[N, N]
+    factorization-chain ops at the measured per-op rates — and
+    `floor_fraction` = floor / step. A fraction near 1 proves the step sits
+    on the factorization wall ("53 steps/s is the ceiling" becomes a
+    measurement); a low fraction is unexplained time = optimization
+    headroom. Op inventories (R = 1 latent):
+
+    - SVGP Adam full-batch step (svgp.py elbo via predict_f wide path):
+      chol(Kuu) + tri_inv(Luu), both differentiated -> chol_grad + triinv_grad.
+    - natgrad+Adam minibatch step (optim/natgrad.py fused path): the ELBO
+      ops differentiated (chol_grad + triinv_grad) + the _with_eta rebuild
+      chol differentiated (chol_grad) + the un-differentiated update algebra
+      tri_inv(Lq) + chol_of_inv = chol + 2 x tri_inv forward.
+    - GPR loss+grad (models/gpr.py): chol([N, N]) differentiated.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from oak_tpu.ops.psd import tri_inv_lower
+    from oak_tpu.params import flatten_trainable
+
+    def slope(make, arg, r1, r2, reps=4):
+        f1, f2 = make(r1), make(r2)
+        jax.device_get(f1(arg))
+        jax.device_get(f2(arg))
+        b1 = b2 = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(f1(arg))
+            b1 = min(b1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            jax.device_get(f2(arg))
+            b2 = min(b2, time.perf_counter() - t0)
+        return (b2 - b1) / (r2 - r1)
+
+    def op_probe(body, operand, r1, r2):
+        """Per-op seconds of `body(operand_perturbed) -> [S, S]`, chained by
+        a scalar tap re-injected into the operand at 1e-24."""
+        def make(R):
+            @jax.jit
+            def run(a):
+                def one(c, _):
+                    out = body(a + c * 1e-24)
+                    return out[0, 0], None
+                c, _ = jax.lax.scan(one, jnp.zeros((), a.dtype), None,
+                                    length=R)
+                return c
+            return run
+        return slope(make, operand, r1, r2)
+
+    rows = {}
+    probes = {}
+    for S in args.size_list:
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def setup(key, S=S):
+            B = jax.random.normal(key, (S, S), jnp.float32) / jnp.sqrt(S)
+            A = B @ B.T + 2.0 * jnp.eye(S, dtype=jnp.float32)
+            return A, jnp.linalg.cholesky(A), B
+
+        A0, L0, B0 = setup(key)
+        jax.device_get(A0[0, 0])
+        # repetition counts sized so the long-minus-short gap clears the
+        # relay's few-ms RTT jitter at every S (sub-ms ops at S<=1024 need
+        # hundreds of reps; S^3 growth keeps the big sizes to a handful)
+        r1, r2 = (30, 300) if S <= 1024 else ((8, 40) if S <= 4096 else (3, 12))
+
+        t_gemm = op_probe(lambda a: a @ a, B0, r1, r2)
+        t_chol = op_probe(jnp.linalg.cholesky, A0, r1, r2)
+        t_chol_g = op_probe(
+            jax.grad(lambda a: jnp.sum(jnp.linalg.cholesky(a))), A0,
+            max(r1 // 2, 2), max(r2 // 2, 8))
+        t_tri = op_probe(tri_inv_lower, L0, r1, r2)
+        t_tri_g = op_probe(
+            jax.grad(lambda a: jnp.sum(tri_inv_lower(a))), L0,
+            max(r1 // 2, 2), max(r2 // 2, 8))
+
+        gemm_gflops = 2 * S**3 / t_gemm / 1e9
+        chol_gflops = S**3 / 3 / t_chol / 1e9
+        tri_gflops = S**3 / 3 / t_tri / 1e9
+        probes[S] = dict(chol=t_chol, chol_g=t_chol_g, tri=t_tri,
+                         tri_g=t_tri_g)
+        rows[S] = {
+            "gemm_ms": round(t_gemm * 1e3, 3),
+            "mxu_attainable_tflops": round(gemm_gflops / 1e3, 2),
+            "chol_ms": round(t_chol * 1e3, 3),
+            "chol_gflops": round(chol_gflops, 1),
+            "chol_vs_mxu": round(chol_gflops / gemm_gflops, 4),
+            "chol_grad_ms": round(t_chol_g * 1e3, 3),
+            "triinv_ms": round(t_tri * 1e3, 3),
+            "triinv_gflops": round(tri_gflops, 1),
+            "triinv_vs_mxu": round(tri_gflops / gemm_gflops, 4),
+            "triinv_grad_ms": round(t_tri_g * 1e3, 3),
+        }
+        print(f"# chol-roofline S={S}: {rows[S]}", file=sys.stderr, flush=True)
+
+    steps = {}
+    M = args.m
+    if M in probes:
+        p = probes[M]
+        model, X, Y = _build_model(args)
+        Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+        vec0, unflatten = flatten_trainable(model)
+        opt = optax.adam(1e-2)
+
+        @functools.partial(jax.jit, static_argnames="steps")
+        def train(vec, steps, unflatten=unflatten, opt=opt, Xj=Xj, Yj=Yj):
+            def one(carry, _):
+                v, opt_state = carry
+                loss, g = jax.value_and_grad(
+                    lambda u: unflatten(u).training_loss(Xj, Yj))(v)
+                updates, opt_state = opt.update(g, opt_state)
+                return (optax.apply_updates(v, updates), opt_state), loss
+
+            (vec, _), losses = jax.lax.scan(one, (vec, opt.init(vec)), None,
+                                            length=steps)
+            return vec, losses[-1]
+
+        adam_sps, _, _ = _time_scan_steps(train, vec0, args.steps)
+        floor = p["chol_g"] + p["tri_g"]
+        steps[f"svgp_adam_m{M}"] = {
+            "step_ms": round(1e3 / adam_sps, 3),
+            "factorization_floor_ms": round(floor * 1e3, 3),
+            "floor_fraction": round(floor * adam_sps, 3),
+        }
+
+        model_f, _, _ = _build_model(args, q_diag=False)
+        ng_sps, _, _ = _time_natgrad(model_f, Xj, Yj, args.n, args.batch,
+                                     args.steps, gamma=0.1)
+        floor = (2 * p["chol_g"] + p["tri_g"]  # elbo chol+triinv, rebuild chol
+                 + p["chol"] + 2 * p["tri"])   # update: tri_inv + chol_of_inv
+        steps[f"natgrad_m{M}"] = {
+            "step_ms": round(1e3 / ng_sps, 3),
+            "factorization_floor_ms": round(floor * 1e3, 3),
+            "floor_fraction": round(floor * ng_sps, 3),
+        }
+
+    N = args.n_list[-1]
+    if N in probes:
+        from oak_tpu.kernels import OAKKernel
+        from oak_tpu.models import GPR
+
+        p = probes[N]
+        Xg, Yg = synth_pumadyn(N, 8)
+        kern = OAKKernel.create(num_dims=8, max_interaction_depth=2,
+                                use_sparsity_prior=True,
+                                lengthscale_bounds=[1e-3, 1e3],
+                                dtype=jnp.float32)
+        gpr = GPR.create(Xg, Yg, kern, noise_variance=0.1)
+        vec0, unflatten = flatten_trainable(gpr)
+        opt = optax.adam(1e-2)
+
+        @functools.partial(jax.jit, static_argnames="steps")
+        def train_g(vec, steps, unflatten=unflatten, opt=opt):
+            def one(carry, _):
+                v, opt_state = carry
+                loss, g = jax.value_and_grad(
+                    lambda u: unflatten(u).training_loss())(v)
+                updates, opt_state = opt.update(g, opt_state)
+                return (optax.apply_updates(v, updates), opt_state), loss
+
+            (vec, _), losses = jax.lax.scan(one, (vec, opt.init(vec)), None,
+                                            length=steps)
+            return vec, losses[-1]
+
+        gpr_sps, _, _ = _time_scan_steps(train_g, vec0,
+                                         max(args.steps // 10, 3))
+        floor = p["chol_g"]
+        steps[f"gpr_n{N}"] = {
+            "step_ms": round(1e3 / gpr_sps, 3),
+            "factorization_floor_ms": round(floor * 1e3, 3),
+            "floor_fraction": round(floor * gpr_sps, 3),
+        }
+
+    print(json.dumps({"metric": "chol_roofline",
+                      "backend": jax.default_backend(),
+                      "config": f"sizes={args.size_list} step-configs: "
+                                f"svgp N={args.n} D={args.d} M={args.m} "
+                                f"depth={args.depth} batch={args.batch}; "
+                                f"gpr N={args.n_list[-1]} D=8 depth=2",
+                      "rows": rows, "steps": steps}))
+
+
 def run_sobol_naive(args):
     """Reference-style Sobol: a Python loop over every component with numpy
     Hadamard products and quadratic forms — the shape of the reference's
@@ -878,6 +1084,49 @@ def run_verify_leg(leg: str, restarts: int = 0, save_path=None,
     print(json.dumps(out))
 
 
+def gate_b2_fit_quality(cpu64_ms: dict, tpu32_ms: dict,
+                        nll_tol: float = 1e-3,
+                        basin_rel_tol: float = 1e-2) -> dict:
+    """Gate B2 comparison with DEFINED basin-mismatch semantics
+    (VERDICT r3 task 6; documented in COMPONENTS.md).
+
+    B2 assumes best-of-K multistart lands both legs in the SAME basin, and
+    only then does "tpu32 NLL not materially worse than cpu64" measure f32
+    numerics. That assumption is checked, not hoped: legs whose multistart
+    train losses differ by more than ``basin_rel_tol`` (relative — same-basin
+    f64-vs-f32 agreement measured 1.5e-5 relative, the bifurcated basin 23%
+    apart, so 1e-2 cleanly separates them) are flagged ``basin_mismatch`` and
+    the gate FAILS with a diagnostic naming both basins — deterministically,
+    even when the tpu32 leg's basin is the better one (a mismatch means the
+    legs are not comparing like with like; the fix is raising K, not passing
+    on a lucky draw).
+
+    Inputs are the two legs' _verify_pipeline dicts (keys: nll, train_loss).
+    """
+    nll_gap = tpu32_ms["nll"] - cpu64_ms["nll"]
+    loss_c, loss_t = cpu64_ms["train_loss"], tpu32_ms["train_loss"]
+    loss_gap = abs(loss_t - loss_c)
+    basin_mismatch = loss_gap > basin_rel_tol * max(1.0, abs(loss_c))
+    out = {
+        "nll_f64_cpu_multistart": round(cpu64_ms["nll"], 6),
+        "nll_f32_tpu_multistart": round(tpu32_ms["nll"], 6),
+        "train_loss_f64_cpu_multistart": round(loss_c, 4),
+        "train_loss_f32_tpu_multistart": round(loss_t, 4),
+        "basin_mismatch": bool(basin_mismatch),
+        # "not materially worse": the TPU multistart may legitimately find
+        # an equal-or-better optimum than the CPU one
+        "fit_gate_pass": bool(nll_gap <= nll_tol and not basin_mismatch),
+    }
+    if basin_mismatch:
+        out["basin_diagnostic"] = (
+            f"multistart legs landed in DIFFERENT basins: cpu64 "
+            f"train_loss={loss_c:.4f}, tpu32 train_loss={loss_t:.4f} "
+            f"(gap {loss_gap:.4f} > {basin_rel_tol:g} relative). The B2 "
+            f"comparison is void — raise --verify-restarts so best-of-K "
+            f"converges to the same basin on both legs, then re-run.")
+    return out
+
+
 def run_verify(args):
     """On-hardware parity gates.
 
@@ -962,16 +1211,7 @@ def run_verify(args):
             "forward_gate_pass": bool(nll_diff <= 1e-3 and sob_diff <= 1e-3),
         })
     if cpu64_ms and tpu32_ms:
-        # "not materially worse": the TPU multistart may legitimately find
-        # an equal-or-better optimum than the CPU one
-        nll_gap = tpu32_ms["nll"] - cpu64_ms["nll"]
-        results.update({
-            "nll_f64_cpu_multistart": round(cpu64_ms["nll"], 6),
-            "nll_f32_tpu_multistart": round(tpu32_ms["nll"], 6),
-            "train_loss_f64_cpu_multistart": round(cpu64_ms["train_loss"], 4),
-            "train_loss_f32_tpu_multistart": round(tpu32_ms["train_loss"], 4),
-            "fit_gate_pass": bool(nll_gap <= 1e-3),
-        })
+        results.update(gate_b2_fit_quality(cpu64_ms, tpu32_ms))
     if tpu32_single:
         results["nll_f32_tpu_single_start"] = round(tpu32_single["nll"], 6)
         results["train_loss_f32_tpu_single_start"] = round(
@@ -1065,6 +1305,13 @@ def main():
     ap.add_argument("--roofline", action="store_true",
                     help="VPU ceiling probes vs achieved gram throughput "
                          "(the Pallas-retirement measurement)")
+    ap.add_argument("--roofline-chol", action="store_true",
+                    help="factorization roofline: attainable Cholesky/"
+                         "triangular-inverse/GEMM rates at --size-list, and "
+                         "the factorization-floor fraction of the Adam/"
+                         "natgrad (--m) and dense-GPR (--n-list[-1]) steps")
+    ap.add_argument("--size-list", type=int, nargs="+",
+                    default=[512, 1024, 2048, 8192])
     ap.add_argument("--verify", action="store_true",
                     help="run the on-hardware parity gates instead of timing")
     ap.add_argument("--verify-leg", choices=["cpu64", "cpu32", "tpu32"], default=None,
@@ -1081,6 +1328,7 @@ def main():
         args.n, args.d, args.m, args.steps = 512, 8, 64, 10
         args.m_list = [64, 128]
         args.n_list = [256, 512]
+        args.size_list = [64, 512]
         args.fit_iters = min(args.fit_iters, 30)
     if args.large_scale and args.n == 8192:
         args.n = 1_000_000
@@ -1119,6 +1367,9 @@ def main():
         return
     if args.roofline:
         run_roofline(args)
+        return
+    if args.roofline_chol:
+        run_roofline_chol(args)
         return
     if args.m_scale:
         run_m_scale(args)

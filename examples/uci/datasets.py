@@ -27,6 +27,42 @@ CLASSIFICATION_SHAPES = {
     "heart": ("r_heart.mat", 297, 13),
 }
 
+# Known discrete-feature signatures (column index -> number of levels).
+# The reference's example scripts treat every column as continuous even on
+# heart; modeling the discrete columns with the constrained binary/categorical
+# kernels (reference kwargs model_utils.py:200-201) is the intended use of
+# those kernels, exposed here via the CLIs' --binary_feature/
+# --categorical_feature "auto" default. Cleveland heart columns:
+# age, sex, cp, trestbps, chol, fbs, restecg, thalach, exang, oldpeak,
+# slope, ca, thal.
+FEATURE_TYPES = {
+    "heart": {
+        "binary": [1, 5, 8],              # sex, fbs, exang
+        "categorical": {2: 4, 6: 3, 10: 3, 11: 4, 12: 3},
+        # cp (4 levels), restecg (3), slope (3), ca (4), thal (3)
+    },
+}
+
+
+def feature_types(name: str):
+    """(binary_feature, categorical_feature) lists for a dataset with a known
+    discrete signature, or (None, None) for all-continuous datasets."""
+    ft = FEATURE_TYPES.get(name)
+    if ft is None:
+        return None, None
+    return list(ft["binary"]), sorted(ft["categorical"])
+
+
+def parse_feature_flag(value: str, auto):
+    """CLI value of --binary_feature/--categorical_feature -> index list:
+    'auto' -> the dataset's known signature (``auto``), 'none' -> None,
+    otherwise comma-separated column indices."""
+    if value == "auto":
+        return auto
+    if value in ("none", ""):
+        return None
+    return [int(v) for v in value.split(",")]
+
 
 def _synthetic_regression(n, d, seed=0):
     rng = np.random.default_rng(seed)
@@ -37,11 +73,40 @@ def _synthetic_regression(n, d, seed=0):
     return X, y.reshape(-1, 1)
 
 
-def _synthetic_classification(n, d, seed=0):
+def _synthetic_classification(n, d, seed=0, types=None):
+    """All-continuous by default; with ``types`` (a FEATURE_TYPES entry) the
+    stand-in matches the real dataset's type signature — binary columns are
+    Bernoulli draws, categorical columns are dense 0..C-1 codes with
+    non-uniform level frequencies, and the logits carry main effects for
+    every column type plus one continuous-by-binary interaction so the
+    discrete Sobol branches see real signal."""
     rng = np.random.default_rng(seed)
     X = rng.normal(size=(n, d))
-    w = rng.normal(size=d) / np.sqrt(d)
-    logits = 4.0 * (X @ w + 0.5 * X[:, 0] * X[:, 1 % d])
+    if types is None:
+        w = rng.normal(size=d) / np.sqrt(d)
+        logits = 4.0 * (X @ w + 0.5 * X[:, 0] * X[:, 1 % d])
+        y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-logits))).astype(float)
+        return X, y.reshape(-1, 1)
+
+    binary = list(types["binary"])
+    categorical = dict(types["categorical"])
+    continuous = [j for j in range(d) if j not in binary and j not in categorical]
+    logits = np.zeros(n)
+    for j in binary:
+        p = rng.uniform(0.25, 0.75)
+        X[:, j] = (rng.uniform(size=n) < p).astype(float)
+        logits += rng.normal() * (X[:, j] - p)
+    for j, c in categorical.items():
+        probs = rng.dirichlet(np.full(c, 3.0))
+        X[:, j] = rng.choice(c, size=n, p=probs)
+        effects = rng.normal(size=c)
+        effects -= probs @ effects  # zero-mean under the level frequencies
+        logits += effects[X[:, j].astype(int)]
+    w = rng.normal(size=len(continuous)) / max(np.sqrt(len(continuous)), 1.0)
+    logits += X[:, continuous] @ w
+    if continuous and binary:
+        logits += 0.8 * X[:, continuous[0]] * (X[:, binary[0]] - 0.5)
+    logits *= 2.5
     y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-logits))).astype(float)
     return X, y.reshape(-1, 1)
 
@@ -78,8 +143,31 @@ def load_regression(name: str, data_dir: str = DATA_DIR):
     return X, y, _provenance("synthetic_standin", seed=0, shape=(n, d))
 
 
+def _recode_discrete(X: np.ndarray, name: str) -> np.ndarray:
+    """Map a real dataset's discrete columns to the dense codes the
+    constrained kernels gather with: binary columns to {0, 1}, categorical
+    columns to 0..C-1 (real UCI files use raw codes, e.g. heart thal is
+    3/6/7)."""
+    ft = FEATURE_TYPES.get(name)
+    if ft is None:
+        return X
+    X = X.copy()
+    for j in ft["binary"]:
+        levels = np.unique(X[:, j])
+        if len(levels) != 2:
+            raise ValueError(
+                f"{name} column {j} flagged binary has {len(levels)} levels")
+        X[:, j] = (X[:, j] == levels[1]).astype(float)
+    for j in ft["categorical"]:
+        _, codes = np.unique(X[:, j], return_inverse=True)
+        X[:, j] = codes.astype(float)
+    return X
+
+
 def load_classification(name: str, data_dir: str = DATA_DIR):
-    """Returns (X, y, provenance) — see load_regression."""
+    """Returns (X, y, provenance) — see load_regression. Datasets with a
+    known discrete signature (FEATURE_TYPES) come back with those columns as
+    dense codes in both branches."""
     fname, n, d = CLASSIFICATION_SHAPES[name]
     path = os.path.join(data_dir, fname)
     if os.path.exists(path):
@@ -88,7 +176,8 @@ def load_classification(name: str, data_dir: str = DATA_DIR):
         mat = io.loadmat(path)
         X, y = np.asarray(mat["X"], float), np.asarray(mat["y"], float).reshape(-1, 1)
         y = (y + 1) / 2  # {-1, 1} -> {0, 1} (reference :84)
+        X = _recode_discrete(X, name)
         return X, y, _provenance("real_mat", path=path, shape=X.shape)
     print(f"[datasets] {path} not found; using synthetic data with shape ({n}, {d})")
-    X, y = _synthetic_classification(n, d)
+    X, y = _synthetic_classification(n, d, types=FEATURE_TYPES.get(name))
     return X, y, _provenance("synthetic_standin", seed=0, shape=(n, d))

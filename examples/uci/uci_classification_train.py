@@ -21,10 +21,10 @@ except ImportError:  # uninstalled checkout: put the repo root on the path
     import oak_tpu  # noqa: F401  (runs the OAK_TPU_PLATFORM hook now)
 
 try:
-    from datasets import load_classification
+    from datasets import feature_types, load_classification, parse_feature_flag
 except ImportError:  # invoked from outside examples/uci
     sys.path.insert(0, str(Path(__file__).resolve().parent))
-    from datasets import load_classification
+    from datasets import feature_types, load_classification, parse_feature_flag
 
 
 def main():
@@ -34,9 +34,24 @@ def main():
     # 1000 = the round-1 behaviour (the flag used to be dead: fit(optimise=True)
     # ran optimise() at its default budget); now the flag is honored
     ap.add_argument("--max_iters", type=int, default=1000)
-    ap.add_argument("--restarts", type=int, default=0,
-                    help="parallel multi-start L-BFGS restarts (0 = single "
-                         "start with automatic degenerate-fit fallback)")
+    ap.add_argument("--restarts", type=int, default=4,
+                    help="parallel multi-start L-BFGS restarts. Default 4 — "
+                         "the production guidance for f32 hardware "
+                         "(oak_model.fit docstring / BASELINE.md "
+                         "'Verify-gate redesign'): single-start f32 "
+                         "trajectories can land in a worse genuine optimum "
+                         "that no per-run diagnostic catches. 0 = single "
+                         "start with automatic degenerate-fit fallback.")
+    ap.add_argument("--binary_feature", default="auto",
+                    help="comma-separated column indices to model with the "
+                         "constrained binary kernel (reference kwarg "
+                         "model_utils.py:200). 'auto' = the dataset's known "
+                         "type signature (datasets.FEATURE_TYPES, e.g. "
+                         "heart sex/fbs/exang); 'none' = all-continuous")
+    ap.add_argument("--categorical_feature", default="auto",
+                    help="comma-separated column indices for the constrained "
+                         "categorical kernel (reference kwarg "
+                         "model_utils.py:201); 'auto'/'none' as above")
     ap.add_argument("--optimizer", default="lbfgs",
                     choices=["lbfgs", "scipy", "adam", "natgrad"])
     ap.add_argument("--output_dir", default=None,
@@ -49,6 +64,9 @@ def main():
 
     X, y, provenance = load_classification(args.dataset_name)
     n, d = X.shape
+    auto_bin, auto_cat = feature_types(args.dataset_name)
+    binary_feature = parse_feature_flag(args.binary_feature, auto_bin)
+    categorical_feature = parse_feature_flag(args.categorical_feature, auto_cat)
     # sonar has 60 features: truncate interactions (reference :95-98)
     if args.depth is not None:
         depth = args.depth
@@ -63,6 +81,8 @@ def main():
         k_folds=args.k,
         data_provenance=provenance,
         model=ModelConfig(max_interaction_depth=depth, num_inducing=200,
+                          binary_feature=binary_feature,
+                          categorical_feature=categorical_feature,
                           likelihood="bernoulli", optimizer=args.optimizer),
         fit=FitConfig(max_iters=args.max_iters, restarts=args.restarts),
     )

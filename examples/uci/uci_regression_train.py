@@ -22,10 +22,10 @@ except ImportError:  # uninstalled checkout: put the repo root on the path
     import oak_tpu  # noqa: F401  (runs the OAK_TPU_PLATFORM hook now)
 
 try:
-    from datasets import load_regression
+    from datasets import feature_types, load_regression, parse_feature_flag
 except ImportError:  # invoked from outside examples/uci
     sys.path.insert(0, str(Path(__file__).resolve().parent))
-    from datasets import load_regression
+    from datasets import feature_types, load_regression, parse_feature_flag
 
 
 def kfold_indices(n, k, seed=4):
@@ -41,9 +41,24 @@ def main():
     ap.add_argument("--k", type=int, default=5, help="k-fold train-test splits")
     ap.add_argument("--max_iters", type=int, default=500)
     ap.add_argument("--depth", type=int, default=None)
-    ap.add_argument("--restarts", type=int, default=0,
-                    help="parallel multi-start L-BFGS restarts (0 = single "
-                         "start with automatic degenerate-fit fallback)")
+    ap.add_argument("--restarts", type=int, default=4,
+                    help="parallel multi-start L-BFGS restarts. Default 4 — "
+                         "the production guidance for f32 hardware "
+                         "(oak_model.fit docstring / BASELINE.md "
+                         "'Verify-gate redesign'): single-start f32 "
+                         "trajectories can land in a worse genuine optimum "
+                         "that no per-run diagnostic catches. 0 = single "
+                         "start with automatic degenerate-fit fallback.")
+    ap.add_argument("--binary_feature", default="auto",
+                    help="comma-separated column indices to model with the "
+                         "constrained binary kernel (reference kwarg "
+                         "model_utils.py:200). 'auto' = the dataset's known "
+                         "type signature (datasets.FEATURE_TYPES); 'none' = "
+                         "all-continuous")
+    ap.add_argument("--categorical_feature", default="auto",
+                    help="comma-separated column indices for the constrained "
+                         "categorical kernel (reference kwarg "
+                         "model_utils.py:201); 'auto'/'none' as above")
     ap.add_argument("--optimizer", default="lbfgs",
                     choices=["lbfgs", "scipy", "adam"])
     ap.add_argument("--output_dir", default=None,
@@ -54,6 +69,9 @@ def main():
     X, y, provenance = load_regression(args.dataset_name)
     n, d = X.shape
     depth = args.depth if args.depth is not None else d
+    auto_bin, auto_cat = feature_types(args.dataset_name)
+    binary_feature = parse_feature_flag(args.binary_feature, auto_bin)
+    categorical_feature = parse_feature_flag(args.categorical_feature, auto_cat)
 
     from oak_tpu.experiment import ExperimentConfig, FitConfig, ModelConfig
 
@@ -67,6 +85,8 @@ def main():
         # reference's threshold, model_utils.py:374) — thresholding on the
         # full dataset size here would flip boundary-sized datasets
         model=ModelConfig(max_interaction_depth=depth, num_inducing=500,
+                          binary_feature=binary_feature,
+                          categorical_feature=categorical_feature,
                           optimizer=args.optimizer),
         fit=FitConfig(max_iters=args.max_iters, restarts=args.restarts),
     )

@@ -372,13 +372,18 @@ def OrthogonalRBFKernel(base_kernel, measure, active_dims=None):
     if base_kernel is None:
         ls, var = 1.0, 1.0
     else:
-        try:
-            ls = float(np.asarray(base_kernel.lengthscales))
-            var = float(np.asarray(base_kernel.variance))
-        except AttributeError:
+        # match the reference's explicit base-kernel type check
+        # (ortho_rbf_kernel.py:34-35 rejects non-RBF bases): a Matern-shaped
+        # object with .lengthscales/.variance must NOT be silently treated
+        # as RBF on a surface documented as drop-in faithful
+        if not (isinstance(base_kernel, RBF)
+                or type(base_kernel).__name__ == "RBF"):
             raise NotImplementedError(
-                "base_kernel must be RBF-shaped (needs .lengthscales and "
-                ".variance; see oak_tpu.compat.RBF)") from None
+                f"base_kernel must be an RBF kernel (got "
+                f"{type(base_kernel).__name__}); the reference supports no "
+                f"other base (ortho_rbf_kernel.py:34-35)")
+        ls = float(np.asarray(base_kernel.lengthscales))
+        var = float(np.asarray(base_kernel.variance))
     return OrthogonalRBF.create(measure, lengthscale=ls, variance=var,
                                 active_dim=_active_dim(active_dims))
 

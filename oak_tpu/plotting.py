@@ -179,6 +179,7 @@ class EffectFigure:
                  main_gap: float = 0.08):
         self.fig = plt.figure(figsize=figsize)
         x0, y0, w, h = main_rect if main_rect is not None else _PANEL_GEOMETRY["main"]
+        self._main_rect = (x0, y0, w, h)
         if n_main == 1:
             rows = [(x0, y0, w, h)]
         else:
@@ -253,10 +254,22 @@ class EffectFigure:
         lo, hi = np.log10(values.min() + 1), np.log10(values.max() + 1)
         return np.logspace(lo, hi, num_bin)
 
+    def _strip_rect(self, side: str):
+        """Strip rectangles derived from the main panel's rect — a custom
+        main_rect keeps its strips aligned (ADVICE r3): the bottom strip
+        shares the main panel's x0/width and splits the margin under it
+        1:3 gutterwise; the left strip shares y0/height and splits the
+        margin left of it 2:3. For the default main rect these reproduce
+        _PANEL_GEOMETRY exactly (pinned in tests/test_plotting_layout.py)."""
+        x0, y0, w, h = self._main_rect
+        if side == "bottom":
+            return (x0, 0.25 * y0, w, 0.75 * y0)
+        return (0.4 * x0, y0, 0.6 * x0, h)
+
     def bottom_hist(self, values, xlabel: str, num_bin: int = 100,
                     log_bins: bool = False, overlay=None):
         """Marginal histogram strip under the main panel (shared x)."""
-        ax = self.fig.add_axes(_PANEL_GEOMETRY["bottom"], sharex=self.main)
+        ax = self.fig.add_axes(self._strip_rect("bottom"), sharex=self.main)
         values = np.ravel(np.asarray(values))
         bins = self._bins(values, num_bin, log_bins)
         if overlay is not None:
@@ -274,7 +287,7 @@ class EffectFigure:
                   log_bins: bool = False):
         """Marginal histogram strip left of the main panel (shared y),
         with counts growing leftwards, toward the figure edge."""
-        ax = self.fig.add_axes(_PANEL_GEOMETRY["left"], sharey=self.main)
+        ax = self.fig.add_axes(self._strip_rect("left"), sharey=self.main)
         values = np.ravel(np.asarray(values))
         ax.hist(values, bins=self._bins(values, num_bin, log_bins),
                 orientation="horizontal", **self.HIST_STYLE)

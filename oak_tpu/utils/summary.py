@@ -33,7 +33,12 @@ def _format_value(v: np.ndarray, max_elems: int = 6) -> str:
 def _transform_name(p: Param) -> str:
     bij = p.bij
     name = type(bij).__name__
-    defaults = type(bij)()
+    try:
+        defaults = type(bij)()
+    except TypeError:
+        # a bijector whose constructor has required arguments: no class
+        # defaults to compare against — show all bounds instead of raising
+        defaults = None
     extras = []
     for field in ("low", "high"):
         val = getattr(bij, field, None)
@@ -43,7 +48,8 @@ def _transform_name(p: Param) -> str:
         # e.g. lengthscale_bounds), so both are shown even at the class
         # default; elsewhere a class-default field (Softplus's low=0.0) is
         # noise and is suppressed.
-        if name != "Sigmoid" and val == getattr(defaults, field, None):
+        if (name != "Sigmoid" and defaults is not None
+                and val == getattr(defaults, field, None)):
             continue
         extras.append(f"{field}={val:g}")
     return name + (f"({', '.join(extras)})" if extras else "")

@@ -194,6 +194,16 @@ def test_orthogonal_rbf_kernel_reference_ctor(rng):
     with pytest.raises(NotImplementedError):
         compat.OrthogonalRBFKernel(compat.RBF(), "not a measure")
 
+    # a Matern-shaped object exposing .lengthscales/.variance is still
+    # rejected (reference ortho_rbf_kernel.py:34-35 checks the TYPE) — the
+    # permissive duck-typing was a behavioral divergence (ADVICE r3)
+    class Matern52:
+        lengthscales = 0.7
+        variance = 1.5
+
+    with pytest.raises(NotImplementedError, match="RBF"):
+        compat.OrthogonalRBFKernel(Matern52(), compat.GaussianMeasure(0.0, 1.0))
+
 
 def test_oak_kernel_reference_ctor(rng):
     """compat.OAKKernel takes the reference's positional signature

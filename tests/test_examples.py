@@ -98,6 +98,56 @@ def test_classification_cli(tmp_path):
             assert np.isfinite(float(z["nll"]))
 
 
+def test_classification_cli_mixed_types_heart(tmp_path):
+    """End-to-end discrete-feature run (VERDICT r3 task 2): heart's known
+    type signature routes sex/fbs/exang through OrthogonalBinary and
+    cp/restecg/slope/ca/thal through OrthogonalCategorical (the CLI's
+    --binary_feature/--categorical_feature 'auto' default), then the
+    decomposition plots exercise the binary/categorical effect figures."""
+    _run([UCI / "uci_classification_train.py", "--dataset_name", "heart",
+          "--k", "2", "--max_iters", "30", "--depth", "2", "--restarts", "2",
+          "--output_dir", tmp_path])
+    cfg = json.loads((tmp_path / "config.json").read_text())
+    assert cfg["model"]["binary_feature"] == [1, 5, 8]
+    assert cfg["model"]["categorical_feature"] == [2, 6, 10, 11, 12]
+    for fold in range(2):
+        with np.load(tmp_path / f"out_{fold}.npz", allow_pickle=True) as z:
+            assert REFERENCE_CLASSIFICATION_FIELDS <= set(z.files)
+            assert 0.0 <= float(z["classification_accuracy"]) <= 1.0
+            assert np.isfinite(float(z["nll"]))
+            # the Sobol path ran through the discrete L branches
+            assert z["normalised_sobols"].shape != ()
+    # plotting on the mixed-type checkpoint: binary/categorical single
+    # effects + the continuous-by-binary second-order panel
+    _run([UCI / "uci_plotting.py", "--dataset_name", "heart",
+          "--fold", "0", "--top_n", "6", "--output_dir", tmp_path])
+    figs = list((tmp_path / "decomposition").glob("*.pdf"))
+    assert len(figs) >= 3, figs
+
+
+def test_example_clis_default_to_production_restarts():
+    """The CLIs' default fit mode matches the repo's f32 production guidance
+    (VERDICT r3 task 3; oak_model.fit docstring recommends restarts=4 —
+    single-start f32 L-BFGS can land in a worse genuine optimum), and every
+    COMMITTED artifact set was produced in a multistart mode: no silent
+    single-start f32 fits remain in outputs/."""
+    import re
+
+    for script in ("uci_regression_train.py", "uci_classification_train.py"):
+        src = (UCI / script).read_text()
+        m = re.search(r'"--restarts",\s*type=int,\s*default=(\d+)', src)
+        assert m is not None, script
+        assert int(m.group(1)) == 4, script
+
+    configs = sorted((UCI / "outputs").glob("*/config.json"))
+    assert configs, "no committed artifact sets found"
+    for cfg_path in configs:
+        cfg = json.loads(cfg_path.read_text())
+        assert cfg["fit"]["restarts"] >= 4, (
+            f"{cfg_path} records a committed artifact produced outside the "
+            f"production-recommended multistart mode")
+
+
 def test_serving_example(tmp_path):
     artifact = tmp_path / "predict.jaxexp"
     proc = _run([REPO / "examples" / "serving_example.py", artifact,

@@ -158,3 +158,24 @@ def test_no_transplanted_statement_blocks():
         f" / reference line-index {best_at[1]}: "
         + " | ".join(ours[best_at[0] - best + 1: best_at[0] + 1])
     )
+
+
+def test_custom_main_rect_aligns_strips():
+    """A custom main_rect keeps its marginal strips aligned to the main
+    panel instead of the module-default rectangles (ADVICE r3): the bottom
+    strip shares the main panel's x0/width, the left strip its y0/height."""
+    rect = (0.3, 0.3, 0.6, 0.6)
+    ef = plotting.EffectFigure(main_rect=rect)
+    bottom = ef.bottom_hist(np.linspace(0, 1, 50), xlabel="x")
+    left = ef.left_hist(np.linspace(0, 1, 50), ylabel="y")
+    bx0, by0, bw, bh = bottom.get_position().bounds
+    lx0, ly0, lw, lh = left.get_position().bounds
+    assert (round(bx0, 6), round(bw, 6)) == (rect[0], rect[2])
+    assert round(by0 + bh, 6) <= rect[1] + 1e-9  # sits under the main panel
+    assert (round(ly0, 6), round(lh, 6)) == (rect[1], rect[3])
+    assert round(lx0 + lw, 6) <= rect[0] + 1e-9  # sits left of the main panel
+
+    # the default rect still reproduces the golden geometry exactly
+    ef2 = plotting.EffectFigure()
+    assert tuple(np.round(ef2._strip_rect("bottom"), 6)) == BOTTOM_RECT
+    assert tuple(np.round(ef2._strip_rect("left"), 6)) == LEFT_RECT

@@ -511,3 +511,113 @@ def test_depth3_einsum_fast_path(rng, monkeypatch, chunk):
     naive_tuples, naive_vals = _naive_component_sobol(m, 3)
     assert [tuple(t) for t in tuples] == [tuple(t) for t in naive_tuples]
     np.testing.assert_allclose(vals, naive_vals, rtol=1e-6, atol=1e-12)
+
+
+# --------------------------------------------------------------------------- #
+# Factor/Hadamard routing boundary (VERDICT r3 task 8): the per-dim L
+# construction and the Sobol factor routing both switch branches at
+# l = 0.5 * sqrt(measure var) (sobol.py compute_L_for_kernel / _usable_factor).
+# These pin that the magic 0.5 sits inside a wide window where BOTH branches
+# are accurate, so the routed L — and any Sobol index built from it — is
+# continuous across the switch.
+# --------------------------------------------------------------------------- #
+def test_routing_boundary_accurate_both_sides_of_switch(rng):
+    """Sweep the lengthscale across the 0.5*sqrt(var) switch (non-unit
+    measure scale so the threshold is exercised, not just l=0.5): the ROUTED
+    L matches Monte-Carlo ground truth on both sides and at the boundary,
+    and so does the quadratic form alpha^T L alpha (the Sobol numerator)."""
+    delta = 1.3
+    measure = GaussianMeasure.create(0.2, delta ** 2)
+    x = jnp.asarray(np.linspace(-1.6, 1.6, 7))
+    s = jnp.asarray(rng.normal(0.2, delta, 500_000))
+    alpha = rng.normal(size=7)
+    for ratio in (0.2, 0.35, 0.49, 0.5, 0.51, 0.8, 1.5, 3.0):
+        k = OrthogonalRBF.create(measure, lengthscale=ratio * delta,
+                                 variance=1.2)
+        L = np.asarray(sb.compute_L_for_kernel(k, x))
+        Kxs = np.asarray(ortho_rbf.K(k, x, s))
+        L_mc = (Kxs @ Kxs.T) / s.shape[0]
+        np.testing.assert_allclose(L, L_mc, atol=5e-3,
+                                   err_msg=f"ratio {ratio}")
+        q, q_mc = alpha @ L @ alpha, alpha @ L_mc @ alpha
+        assert abs(q - q_mc) <= 1e-2 * max(1.0, abs(q_mc)), (ratio, q, q_mc)
+        # the factor routing flips exactly at the same threshold
+        assert sb._usable_factor(k) == (ratio > 0.5), ratio
+
+
+def test_routing_boundary_branch_overlap_window(rng):
+    """The measured branch-disagreement profile that validates the 0.5
+    threshold. Quadrature error falls monotonically with l/sqrt(var)
+    (measured: 1.9e-1 at 0.2, 1.1e-2 at 0.3, 2.3e-4 at 0.4, 2.3e-6 at 0.5,
+    1.2e-8 at 0.6, 1.7e-15 at 0.9 — the closed form is f64-exact throughout
+    this range, so the disagreement IS the quadrature error). Pinned:
+
+    - the jump the jnp.where switch can introduce — the disagreement AT the
+      boundary — is <1e-5 relative, 100x under the 1e-3 accuracy budget, so
+      the routed L is continuous across the switch for any practical
+      purpose;
+    - thresholds <=0.35 would be INVALID (disagreement there exceeds the
+      1e-3 budget), while everything in [0.45, 0.9] is safely under 1e-4:
+      the magic 0.5 sits in the interior of the valid window with ~400x
+      margin, not on its edge."""
+    delta = 1.3
+    measure = GaussianMeasure.create(0.2, delta ** 2)
+    x = jnp.asarray(np.linspace(-1.6, 1.6, 7))
+
+    def rel_disagreement(ratio):
+        k = OrthogonalRBF.create(measure, lengthscale=ratio * delta,
+                                 variance=1.2)
+        Lc = np.asarray(sb.compute_L_gaussian(
+            x, k.lengthscale.value, k.variance.value, delta, 0.2))
+        Lq = np.asarray(sb.compute_L_quadrature(k, x))
+        return np.abs(Lq - Lc).max() / max(np.abs(Lc).max(), 1e-12)
+
+    # continuity at the switch: the boundary jump is bounded by the
+    # larger branch disagreement in its epsilon-neighbourhood
+    assert max(rel_disagreement(0.49), rel_disagreement(0.51)) < 1e-5
+    # 0.5 is interior to the valid window, not at its edge
+    for ratio in np.linspace(0.45, 0.9, 10):
+        assert rel_disagreement(ratio) < 1e-4, ratio
+    # ...and a much lower threshold would NOT be valid: quadrature alone
+    # blows the 1e-3 budget by ratio 0.35 (this is why the hybrid routes
+    # to the closed form below the switch)
+    assert rel_disagreement(0.35) > 1e-3
+    assert rel_disagreement(0.2) > 1e-1
+
+
+def test_routing_boundary_justifies_each_branch(rng):
+    """Why the hybrid exists (one probe per failure mode, documenting that
+    NEITHER branch alone covers the sweep above): quadrature under-resolves a
+    lengthscale far below the node spacing; the closed form's f1-f2-f3+f4
+    cancels catastrophically in f32 at large lengthscale (the regime a flat
+    fit reaches)."""
+    delta = 1.0
+    measure = GaussianMeasure.create(0.0, delta ** 2)
+    x = jnp.asarray(np.linspace(-1.0, 1.0, 5))
+    s = jnp.asarray(rng.normal(0.0, delta, 400_000))
+
+    # (a) quadrature fails at l << node spacing where the closed form is exact
+    k_small = OrthogonalRBF.create(measure, lengthscale=0.02, variance=1.0)
+    Kxs = np.asarray(ortho_rbf.K(k_small, x, s))
+    L_mc = (Kxs @ Kxs.T) / s.shape[0]
+    Lq = np.asarray(sb.compute_L_quadrature(k_small, x))
+    Lc = np.asarray(sb.compute_L_gaussian(x, k_small.lengthscale.value,
+                                          k_small.variance.value, delta, 0.0))
+    assert np.abs(Lc - L_mc).max() <= 5e-3
+    assert np.abs(Lq - L_mc).max() > 10 * np.abs(Lc - L_mc).max()
+
+    # (b) the closed form loses ~all significant digits in f32 at large l:
+    # the four terms are each ~sigma^4 and nearly cancel
+    k_big = OrthogonalRBF.create(measure, lengthscale=40.0, variance=1.0)
+    L64 = np.asarray(sb.compute_L_gaussian(x, k_big.lengthscale.value,
+                                           k_big.variance.value, delta, 0.0))
+    L32 = np.asarray(sb.compute_L_gaussian(
+        jnp.asarray(np.asarray(x), jnp.float32),
+        jnp.asarray(float(k_big.lengthscale.value), jnp.float32),
+        jnp.asarray(1.0, jnp.float32),
+        jnp.asarray(1.0, jnp.float32), jnp.asarray(0.0, jnp.float32)))
+    Lq_big = np.asarray(sb.compute_L_quadrature(k_big, x))
+    # quadrature stays accurate (vs the f64 closed form)...
+    assert np.abs(Lq_big - L64).max() <= 1e-6 * np.abs(L64).max()
+    # ...while the f32 closed form's relative error is orders worse
+    assert np.abs(L32 - L64).max() > 1e-2 * np.abs(L64).max()

@@ -780,7 +780,11 @@ def run_roofline_chol(args):
     impossible); operands are real jit ARGUMENTS (a closed-over [S, S]
     constant would be baked into the executable and shipped through the
     relay). `*_grad` probes time jax.grad of the op — forward + VJP, what a
-    training step actually pays. Useful-FLOP conventions: GEMM 2S^3,
+    training step actually pays — in BOTH flavors: `_xla` differentiates
+    the stock op (full-width triangular-solve reverse pass), `_custom` the
+    ops/psd.py custom-VJP ops the models actually run (Murray closed form,
+    GEMM-built). Step floors are accounted at the custom rates.
+    Useful-FLOP conventions: GEMM 2S^3,
     Cholesky S^3/3, triangular inverse S^3/3 (the structure-exploiting
     count; XLA's trsm-vs-identity does more).
 
@@ -825,17 +829,45 @@ def run_roofline_chol(args):
 
     def op_probe(body, operand, r1, r2):
         """Per-op seconds of `body(operand_perturbed) -> [S, S]`, chained by
-        a scalar tap re-injected into the operand at 1e-24."""
+        a scalar tap re-injected into the operand at 1e-24. The long-run
+        length is grown (4x per probe) until the long-minus-short gap clears
+        the relay's few-ms RTT jitter by >=10x — fixed rep counts sized for
+        the S^3 factorization ops under-measure a 38 us GEMM into noise (the
+        round-4 first run produced a negative S=2048 GEMM slope this way).
+
+        The tap MUST consume the whole output nonlinearly: tapping out[0, 0]
+        lets XLA push the slice into dots and column-wise TriangularSolves
+        and time a single column — the round-4 first run recorded the ~35 ms
+        solve-vs-I at [8192, 8192] as 1.6 ms this way. vdot(out, out) cannot
+        be rewritten through either op; it adds one HBM read of out per rep
+        (~0.2 ms at S=8192), a small uniform overestimate."""
         def make(R):
             @jax.jit
             def run(a):
                 def one(c, _):
                     out = body(a + c * 1e-24)
-                    return out[0, 0], None
+                    return jnp.vdot(out, out) * 1e-24, None
                 c, _ = jax.lax.scan(one, jnp.zeros((), a.dtype), None,
                                     length=R)
                 return c
             return run
+
+        def timed(R):
+            f = make(R)
+            jax.device_get(f(operand))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                jax.device_get(f(operand))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1 = timed(r1)
+        while True:
+            t2 = timed(r2)
+            if t2 - t1 >= 0.04 or r2 - r1 >= 64000:
+                break
+            r2 = r1 + (r2 - r1) * 4
         return slope(make, operand, r1, r2)
 
     rows = {}
@@ -856,32 +888,50 @@ def run_roofline_chol(args):
         # hundreds of reps; S^3 growth keeps the big sizes to a handful)
         r1, r2 = (30, 300) if S <= 1024 else ((8, 40) if S <= 4096 else (3, 12))
 
+        def plain_tri_inv(L):
+            # XLA's stock reverse pass (another full-width triangular
+            # solve) — the comparison point for the custom VJP
+            eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+            return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+
+        from oak_tpu.ops.psd import cholesky_lower
+
         t_gemm = op_probe(lambda a: a @ a, B0, r1, r2)
         t_chol = op_probe(jnp.linalg.cholesky, A0, r1, r2)
         t_chol_g = op_probe(
             jax.grad(lambda a: jnp.sum(jnp.linalg.cholesky(a))), A0,
             max(r1 // 2, 2), max(r2 // 2, 8))
+        t_chol_gc = op_probe(
+            jax.grad(lambda a: jnp.sum(cholesky_lower(a))), A0,
+            max(r1 // 2, 2), max(r2 // 2, 8))
         t_tri = op_probe(tri_inv_lower, L0, r1, r2)
+        t_trisolve = op_probe(plain_tri_inv, L0, r1, r2)
         t_tri_g = op_probe(
+            jax.grad(lambda a: jnp.sum(plain_tri_inv(a))), L0,
+            max(r1 // 2, 2), max(r2 // 2, 8))
+        t_tri_gc = op_probe(
             jax.grad(lambda a: jnp.sum(tri_inv_lower(a))), L0,
             max(r1 // 2, 2), max(r2 // 2, 8))
 
         gemm_gflops = 2 * S**3 / t_gemm / 1e9
         chol_gflops = S**3 / 3 / t_chol / 1e9
         tri_gflops = S**3 / 3 / t_tri / 1e9
-        probes[S] = dict(chol=t_chol, chol_g=t_chol_g, tri=t_tri,
-                         tri_g=t_tri_g)
+        probes[S] = dict(chol=t_chol, chol_g=t_chol_gc, tri=t_tri,
+                         tri_g=t_tri_gc)
         rows[S] = {
             "gemm_ms": round(t_gemm * 1e3, 3),
             "mxu_attainable_tflops": round(gemm_gflops / 1e3, 2),
             "chol_ms": round(t_chol * 1e3, 3),
             "chol_gflops": round(chol_gflops, 1),
             "chol_vs_mxu": round(chol_gflops / gemm_gflops, 4),
-            "chol_grad_ms": round(t_chol_g * 1e3, 3),
+            "chol_grad_xla_ms": round(t_chol_g * 1e3, 3),
+            "chol_grad_custom_ms": round(t_chol_gc * 1e3, 3),
             "triinv_ms": round(t_tri * 1e3, 3),
+            "trisolve_xla_ms": round(t_trisolve * 1e3, 3),
             "triinv_gflops": round(tri_gflops, 1),
             "triinv_vs_mxu": round(tri_gflops / gemm_gflops, 4),
-            "triinv_grad_ms": round(t_tri_g * 1e3, 3),
+            "triinv_grad_xla_ms": round(t_tri_g * 1e3, 3),
+            "triinv_grad_custom_ms": round(t_tri_gc * 1e3, 3),
         }
         print(f"# chol-roofline S={S}: {rows[S]}", file=sys.stderr, flush=True)
 

@@ -21,6 +21,140 @@ from jax import lax
 
 from ..config import default_jitter
 
+# The factorization GEMMs (blocked triangular inverse, Cholesky/tri-inv
+# VJPs) run at HIGH precision (bf16_3x): measured on the TPU (BASELINE.md
+# round-4 factorization roofline), DEFAULT (single-pass bf16) costs 4e-3
+# relative gradient error — most of the 1e-3 end-to-end parity budget —
+# while HIGH is 3e-5 at ~1.3x the GEMM time and HIGHEST (full f32) runs
+# ~60x slower than DEFAULT on this chip for no accuracy the budget needs.
+_HIGH = lax.Precision.HIGH
+
+
+def _mT(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.swapaxes(x, -1, -2)
+
+
+def _hmm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(a, b, precision=_HIGH)
+
+
+def _phi(P: jnp.ndarray) -> jnp.ndarray:
+    """Murray's Phi mask: keep the strictly-lower triangle, halve the
+    diagonal, zero the upper triangle (batched over leading dims)."""
+    diag = jnp.diagonal(P, axis1=-2, axis2=-1)
+    eye = jnp.eye(P.shape[-1], dtype=P.dtype)
+    return jnp.tril(P) - 0.5 * (diag[..., :, None] * eye)
+
+
+# Crossover where the bottom-up blocked inverse overtakes XLA's monolithic
+# TriangularSolve-vs-I, and the leaf size where the remaining solves are
+# batched into one call (both measured on the TPU — BASELINE.md round-4
+# factorization roofline; the blocked route wins from ~[1024, 1024] up).
+_TRI_INV_BLOCK_MIN = 1024
+_TRI_INV_LEAF = 256
+
+
+def _tri_inv_blocked(L: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular inverse as batched leaf solves + MXU GEMM combines.
+
+    XLA's TriangularSolve back-substitutes serially over panels and cannot
+    ride the MXU: the honest full-width solve-vs-I costs 34.8 ms at
+    [8192, 8192] (bench.py --roofline-chol, round-4 run 3 — an earlier
+    probe of this op read only out[0, 0] and XLA sliced the solve down to
+    ONE column, which is how it was first recorded as 1.6 ms). This
+    routine uses the 2x2 block identity
+
+        [[A, 0], [C, D]]^-1 = [[A^-1, 0], [-D^-1 C A^-1, D^-1]]
+
+    bottom-up: ONE batched [n/leaf, leaf, leaf] TriangularSolve inverts all
+    diagonal leaf blocks in parallel, then log2(n/leaf) rounds of batched
+    GEMMs (precision HIGH) assemble doubling-size inverses. All shapes are
+    static; n is padded to leaf * 2^k with an identity block (the inverse
+    of a block-diagonal pad is the padded inverse) and sliced back.
+    O(n^3/3) FLOPs land on the MXU instead of the serial solve pipeline:
+    measured 34.8 -> 18.3 ms at [8192, 8192] and 0.66 -> 0.43 ms at
+    [2048, 2048] (HIGH-precision GEMMs; the remaining time is the batched
+    leaf solve plus log2(n/256) dependent GEMM rounds)."""
+    n = L.shape[-1]
+    if n <= _TRI_INV_LEAF:
+        return jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(n, dtype=L.dtype), lower=True)
+    k = max((n - 1).bit_length() - (_TRI_INV_LEAF).bit_length() + 1, 0)
+    n_pad = _TRI_INV_LEAF * (1 << k)
+    if n_pad != n:
+        pad = n_pad - n
+        L = jnp.block(
+            [[L, jnp.zeros((n, pad), L.dtype)],
+             [jnp.zeros((pad, n), L.dtype), jnp.eye(pad, dtype=L.dtype)]])
+    m, P = _TRI_INV_LEAF, n_pad // _TRI_INV_LEAF
+    # all diagonal leaf blocks, one batched solve: [P, m, m]
+    idx = jnp.arange(P)
+    diag_blocks = L.reshape(P, m, P, m)[idx, :, idx, :]
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), diag_blocks.shape)
+    W = jax.scipy.linalg.solve_triangular(diag_blocks, eye, lower=True)
+    while m < n_pad:
+        half = jnp.arange(P // 2)
+        sub = L.reshape(P, m, P, m)[2 * half + 1, :, 2 * half, :]
+        WA, WD = W[0::2], W[1::2]
+        off = -_hmm(WD, _hmm(sub, WA))
+        top = jnp.concatenate([WA, jnp.zeros_like(WA)], axis=-1)
+        bot = jnp.concatenate([off, WD], axis=-1)
+        W = jnp.concatenate([top, bot], axis=-2)
+        m, P = 2 * m, P // 2
+    Wfull = W[0]
+    return Wfull[:n, :n] if n_pad != n else Wfull
+
+
+def _tri_inv_dispatch(L: jnp.ndarray) -> jnp.ndarray:
+    """Static-shape route: blocked MXU inverse for large 2-D factors,
+    XLA's monolithic solve below the crossover and for explicitly-batched
+    inputs (a logical 2-D argument under vmap still takes the blocked
+    route — vmap batches the blocked ops directly)."""
+    if L.ndim == 2 and L.shape[-1] >= _TRI_INV_BLOCK_MIN:
+        return _tri_inv_blocked(L)
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+
+
+@jax.custom_vjp
+def cholesky_lower(A: jnp.ndarray) -> jnp.ndarray:
+    """`jnp.linalg.cholesky` with a GEMM-built reverse pass.
+
+    XLA's Cholesky VJP lowers to two full-width triangular solves, which
+    back-substitute serially over panels and cannot ride the MXU: measured
+    125.8 ms forward+VJP at [8192, 8192] against a 12.5 ms forward (bench.py
+    --roofline-chol, BASELINE.md round-4 run 3). The closed-form cotangent
+    (Murray 2016, "Differentiation of the Cholesky decomposition", eq. 8)
+
+        Abar = sym( L^-T Phi(L^T Lbar) L^-1 ),   Phi = tril, half diagonal
+
+    needs one triangular inverse (the blocked MXU route below the forward)
+    plus three HIGH-precision GEMMs: 85.5 ms forward+VJP at the same size
+    (1.47x), which takes the dense-GPR N=8192 training step from 135.4 to
+    94.4 ms and leaves it 90.5% accounted by this chain. Upper-triangle
+    cotangent components are annihilated structurally (L^T Lbar_upper is
+    strictly upper, so Phi zeroes it) — matching XLA's convention that the
+    primal's frozen-zero upper triangle carries no gradient. The returned
+    cotangent is symmetrized, matching JAX's symmetric-input convention.
+    Forward-mode (jvp) is not defined — training uses reverse mode only.
+    """
+    return jnp.linalg.cholesky(A)
+
+
+def _cholesky_lower_fwd(A):
+    L = jnp.linalg.cholesky(A)
+    return L, L
+
+
+def _cholesky_lower_bwd(L, Lbar):
+    Linv = _tri_inv_dispatch(L)
+    P = _phi(_hmm(_mT(L), Lbar))
+    S = _hmm(_mT(Linv), _hmm(P, Linv))
+    return (0.5 * (S + _mT(S)),)
+
+
+cholesky_lower.defvjp(_cholesky_lower_fwd, _cholesky_lower_bwd)
+
 
 def add_jitter(K: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:
     """Default jitter is *relative* to the mean diagonal (floored at the
@@ -37,7 +171,7 @@ def add_jitter(K: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:
 
 
 def cholesky(K: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:
-    return jnp.linalg.cholesky(add_jitter(K, jitter))
+    return cholesky_lower(add_jitter(K, jitter))
 
 
 @partial(jax.jit, static_argnames=("max_tries",))
@@ -70,21 +204,49 @@ def solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.solve_triangular(L, B, lower=True)
 
 
+@jax.custom_vjp
 def tri_inv_lower(L: jnp.ndarray) -> jnp.ndarray:
     """Explicit inverse of a lower-triangular factor (one [M, M] solve
-    against I).
+    against I), with a GEMM-built reverse pass.
 
-    TPU rationale: a triangular solve back-substitutes serially over
-    blocked panels and cannot ride the MXU, so for a WIDE right-hand side
-    `tri_inv_lower(L) @ B` beats `solve_lower(L, B)` ~2x through
+    TPU rationale (forward): a triangular solve back-substitutes serially
+    over blocked panels and cannot ride the MXU, so for a WIDE right-hand
+    side `tri_inv_lower(L) @ B` beats `solve_lower(L, B)` ~2x through
     forward+backward (measured at M=512, N=8192: 0.291 -> 0.131 ms,
     BASELINE.md round-5 probe) — the one fixed-cost [M, M] solve amortizes
     and the per-column work becomes a GEMM. Accuracy loss vs the direct
     solve is O(cond(L) * eps) and is covered by the f32<->f64 parity gates.
     Use for M x M inducing-point factors with many-column RHS; keep direct
-    solves for narrow RHS and for N x N data-sized factors (GPR)."""
-    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
-    return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    solves for narrow RHS and for N x N data-sized factors (GPR).
+
+    Large factors take the blocked MXU route (_tri_inv_blocked) instead of
+    XLA's monolithic solve — see _tri_inv_dispatch for the crossover.
+
+    Reverse pass: XLA differentiates a triangular solve into another
+    full-width triangular solve (71.4 ms forward+VJP at [8192, 8192],
+    bench.py --roofline-chol, round-4 run 3). The closed form for W = L^-1
+    is
+
+        Lbar = -tril( W^T Wbar W^T )
+
+    — two HIGH-precision GEMMs on the saved forward result (35.5 ms
+    forward+VJP at the same size, 2.0x; 0.69 vs 0.99 ms at [2048, 2048]).
+    The tril mask annihilates upper-triangle cotangent components, matching
+    the primal's frozen-zero upper triangle."""
+    return _tri_inv_dispatch(L)
+
+
+def _tri_inv_lower_fwd(L):
+    W = _tri_inv_dispatch(L)
+    return W, W
+
+
+def _tri_inv_lower_bwd(W, Wbar):
+    Wt = _mT(W)
+    return (-jnp.tril(_hmm(Wt, _hmm(Wbar, Wt))),)
+
+
+tri_inv_lower.defvjp(_tri_inv_lower_fwd, _tri_inv_lower_bwd)
 
 
 def chol_of_inv(P: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
@@ -103,7 +265,7 @@ def chol_of_inv(P: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
     precision-to-covariance round trip sits on the step's critical path."""
     eye = jnp.eye(P.shape[-1], dtype=P.dtype)
     Pr = (P + jitter * eye)[::-1, ::-1]
-    Lr = jnp.linalg.cholesky(Pr)
+    Lr = cholesky_lower(Pr)
     return tri_inv_lower(Lr).T[::-1, ::-1]
 
 

@@ -98,8 +98,10 @@ def _with_eta(m, e1, e2):
     eye = jnp.eye(M_, dtype=e2.dtype)
 
     def rebuild_r(e2_r, e1_r):
+        from ..ops.psd import cholesky_lower
+
         S_ = 0.5 * (e2_r + e2_r.T) - jnp.outer(e1_r, e1_r)
-        return jnp.linalg.cholesky(S_ + _VAR_FLOOR * eye)
+        return cholesky_lower(S_ + _VAR_FLOOR * eye)
 
     Lq_ = jax.vmap(rebuild_r, in_axes=(0, 1))(e2, e1)
     return m.replace(q_mu=m.q_mu.assign(e1), q_sqrt=m.q_sqrt.assign(Lq_))

@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 from jax.scipy.special import erf
@@ -54,8 +55,18 @@ def inv_probit(x, jitter: float = 1e-3):
 
 def inv_logit(x, jitter: float = 1e-3):
     """The jittered sigmoid link from the reference classification script
-    (uci_classification_train.py:43-45)."""
-    return jnp.clip(jnp.reciprocal(1.0 + jnp.exp(-x)), 0.0, 1.0) * (1.0 - 2.0 * jitter) + jitter
+    (uci_classification_train.py:43-45), computed with the numerically
+    stable sigmoid.
+
+    The naive ``1 / (1 + exp(-x))`` overflows f32 for x < ~-88: the forward
+    clips to a finite p but the BACKWARD is inf/inf = NaN. The reference
+    never sees this because it runs f64 (overflow at x < -709, unreachable);
+    on f32 TPU hardware a deep OAK kernel at a cold start has prior marginal
+    variance of O(depth * amplitude) — heart at depth 4 reaches fvar ~ 188,
+    whose 20-point Gauss-Hermite grid hits f ~ -100 and NaNed every
+    training gradient (round-4 heart artifact runs). ``jax.nn.sigmoid``
+    evaluates exp only on the non-overflowing side."""
+    return jax.nn.sigmoid(x) * (1.0 - 2.0 * jitter) + jitter
 
 
 _INVLINKS = {"probit": inv_probit, "logit": inv_logit}

@@ -52,16 +52,49 @@ def get_kmeans_centers(X: np.ndarray, K: int = 500, seed: int = 0) -> np.ndarray
     return kmeans.cluster_centers_
 
 
+def _discrete_centers(col: np.ndarray, n_clusters: int) -> np.ndarray:
+    """Inducing-point coordinates for a discrete (binary/categorical) column:
+    the observed level codes, allocated proportionally to their observed
+    frequencies (largest-remainder rounding; every observed level gets at
+    least one slot when it fits).
+
+    The reference runs a per-column KMeans(n_clusters) here and truncates the
+    centers to int (utils.py:533-574). With n_clusters far above the number
+    of distinct codes that is both lossy (a center of 1.999... truncates to
+    1, dropping a level) and unsafe: sklearn's empty-cluster relocation can
+    emit centers far outside the data hull (observed: -39.4 on a {0, 1, 2}
+    column, sklearn 1.9), and an out-of-range code later feeds the
+    categorical kernel's level-index lookup — the round-4 heart runs NaNed
+    exactly this way. Frequency-proportional allocation is deterministic,
+    always in-range, and matches what the KMeans call converges to in the
+    benign case (each distinct code claims slots in proportion to its
+    cluster's mass)."""
+    vals, counts = np.unique(col, return_counts=True)
+    if len(vals) >= n_clusters:
+        return vals[np.argsort(counts)[::-1][:n_clusters]]
+    frac = counts / counts.sum() * n_clusters
+    quota = np.maximum(np.floor(frac).astype(int), 1)
+    rem = np.argsort(frac - np.floor(frac))[::-1]
+    for i in np.tile(rem, n_clusters):  # largest remainders first
+        if quota.sum() >= n_clusters:
+            break
+        quota[i] += 1
+    while quota.sum() > n_clusters:  # only when the >=1 floor overshot
+        quota[np.argmax(quota)] -= 1
+    return np.repeat(vals, quota)
+
+
 def initialize_kmeans_with_binary(
     X: np.ndarray, binary_index: Sequence[int],
     continuous_index: Optional[Sequence[int]] = None, n_clusters: int = 200,
 ) -> np.ndarray:
-    """utils.py:533-552: per-binary-column k-means rounded to int, joint
-    k-means on the continuous block."""
+    """utils.py:533-552: frequency-proportional codes on each binary column
+    (see _discrete_centers — the reference's per-column KMeans is unsafe
+    when n_clusters exceeds the distinct codes), joint k-means on the
+    continuous block."""
     Z = np.zeros((n_clusters, X.shape[1]))
     for idx in binary_index:
-        km = KMeans(n_clusters=n_clusters, random_state=0, n_init=10).fit(X[:, [idx]])
-        Z[:, idx] = km.cluster_centers_.astype(int)[:, 0]
+        Z[:, idx] = _discrete_centers(X[:, idx], n_clusters)
     if continuous_index is not None and len(continuous_index):
         km = KMeans(n_clusters=n_clusters, random_state=0, n_init=10).fit(
             X[:, list(continuous_index)]
@@ -74,11 +107,11 @@ def initialize_kmeans_with_categorical(
     X: np.ndarray, binary_index: Sequence[int], categorical_index: Sequence[int],
     continuous_index: Sequence[int], n_clusters: int = 200,
 ) -> np.ndarray:
-    """utils.py:555-574."""
+    """utils.py:555-574, with the discrete columns handled by
+    _discrete_centers instead of the reference's unsafe per-column KMeans."""
     Z = np.zeros((n_clusters, X.shape[1]))
     for idx in list(binary_index) + list(categorical_index):
-        km = KMeans(n_clusters=n_clusters, random_state=0, n_init=10).fit(X[:, [idx]])
-        Z[:, idx] = km.cluster_centers_.astype(int)[:, 0]
+        Z[:, idx] = _discrete_centers(X[:, idx], n_clusters)
     if len(continuous_index):
         km = KMeans(n_clusters=n_clusters, random_state=0, n_init=10).fit(
             X[:, list(continuous_index)]

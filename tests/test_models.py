@@ -201,3 +201,31 @@ def test_bernoulli_predict_log_density_vs_mc(rng):
     p = np.asarray(lik.invlink(jnp.asarray(f)))
     dens = np.where(np.asarray(y)[:, :, None] > 0.5, p, 1 - p).mean(axis=-1)
     np.testing.assert_allclose(np.exp(ld)[:, 0], dens[:, 0], rtol=5e-3)
+
+
+def test_bernoulli_gradients_finite_at_extreme_variance():
+    """f32 overflow regression (round-4 heart NaN fits): a cold-started
+    depth-4 OAK prior has marginal variance O(100), whose Gauss-Hermite
+    grid reaches f ~ -100 — the naive 1/(1+exp(-f)) logit link overflows
+    f32 there with a finite (clipped) forward but a NaN backward, which
+    then poisons every training gradient. inv_logit now uses the stable
+    sigmoid; both links must carry finite gradients through variational
+    expectations at these magnitudes."""
+    import jax
+
+    from oak_tpu.models.likelihoods import Bernoulli
+
+    for link in ("logit", "probit"):
+        lik = Bernoulli.create(link)
+        fmu = jnp.asarray([[0.0], [30.0], [-30.0]], jnp.float32)
+        fvar = jnp.asarray([[188.0], [200.0], [150.0]], jnp.float32)
+        y = jnp.asarray([[1.0], [0.0], [1.0]], jnp.float32)
+
+        def ve(args):
+            mu, v = args
+            return jnp.sum(lik.variational_expectations(mu, v, y))
+
+        val, (gmu, gv) = jax.value_and_grad(ve)((fmu, fvar))
+        assert np.isfinite(float(val)), link
+        assert np.isfinite(np.asarray(gmu)).all(), link
+        assert np.isfinite(np.asarray(gv)).all(), link

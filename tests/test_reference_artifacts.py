@@ -94,3 +94,40 @@ def test_reference_headline_numbers_match_survey():
     errs = [float(np.load(REF / "breast" / f"out_{i}.npz")["classification_accuracy"])
             for i in range(5)]
     np.testing.assert_allclose(np.mean(errs), 0.0556, atol=0.005)
+
+
+# ---------------------------------------------------------------------------
+# Committed-artifact sanity: every out_<fold>.npz checked into
+# examples/uci/outputs/ must hold a *successful* run.  The round-4 heart
+# artifacts were committed from a run whose every training gradient NaNed
+# (PARITY_NOTES.md items 6a/6b) — schema-only pinning did not catch it
+# because a NaN nll and an all-zero Sobol vector still parse.  These
+# invariants would have.
+# ---------------------------------------------------------------------------
+
+def _committed_artifacts():
+    return sorted(glob.glob(str(OURS / "*" / "out_*.npz")))
+
+
+@pytest.mark.parametrize("path", _committed_artifacts(),
+                         ids=lambda p: "/".join(Path(p).parts[-2:]))
+def test_committed_artifacts_are_finite_and_sane(path):
+    with np.load(path, allow_pickle=True) as d:
+        # every float field finite — a NaN nll means the fit diverged
+        for k in d.files:
+            a = np.asarray(d[k])
+            if a.dtype.kind == "f":
+                assert np.isfinite(a).all(), f"{path}: non-finite {k}"
+        # the Sobol decomposition actually happened: per-order mass is a
+        # distribution, and the per-component vector carries nonzero mass
+        so = d["sobol_order"]
+        np.testing.assert_allclose(so.sum(), 1.0, atol=1e-5,
+                                   err_msg=f"{path}: sobol_order not normalized")
+        comp_key = "normalised_sobols" if "normalised_sobols" in d.files else "sobol"
+        assert float(np.abs(d[comp_key]).sum()) > 1e-6, \
+            f"{path}: all-zero Sobol vector (degenerate/diverged fit)"
+        if "classification_accuracy" in d.files:
+            # reference convention: this field stores the ERROR rate; a
+            # trained model must beat coin-flipping on every committed fold
+            assert float(d["classification_accuracy"]) < 0.45, \
+                f"{path}: at-chance error rate (untrained model)"

@@ -25,6 +25,14 @@ try:
 except ImportError:  # invoked from outside examples/uci
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from datasets import feature_types, load_classification, parse_feature_flag
+from artifact_io import provenance_stamp, write_fold_artifact
+
+# the CLIs re-run identical per-fold programs: the persistent compile cache
+# (same dir as tests/conftest.py) makes every fold after the first cheap
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/oak_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def main():
@@ -100,6 +108,8 @@ def main():
 
     from oak_tpu.models import inv_logit
 
+    stamp = provenance_stamp(args.restarts)
+    failed_folds = []
     kf = KFold(n_splits=cfg.k_folds)
     for fold, (train_index, test_index) in enumerate(kf.split(X)):
         X_train, X_test = X[train_index], X[test_index]
@@ -147,24 +157,32 @@ def main():
             sobol_time = float("nan")
 
         oak.save(out_dir / f"model_oak_{fold}.npz")
-        np.savez(
-            out_dir / f"out_{fold}",
-            normalised_sobols=normalised_sobols,
-            classification_accuracy=classification_error,
-            nll=nll,
-            sobol_order=sobol_order,
-            auc_component=auc_component,
-            cumulative_sobol=cumulative_sobol,
-            train_time=train_time,
-            synthetic=provenance["data_provenance"] == "synthetic_standin",
-            data_generator_seed=(provenance["generator_seed"]
-                                 if provenance["generator_seed"] is not None
-                                 else -1),
-        )
+        problems = write_fold_artifact(
+            out_dir, fold, "classification",
+            dict(
+                normalised_sobols=normalised_sobols,
+                classification_accuracy=classification_error,
+                nll=nll,
+                sobol_order=sobol_order,
+                auc_component=auc_component,
+                cumulative_sobol=cumulative_sobol,
+                train_time=train_time,
+                synthetic=provenance["data_provenance"] == "synthetic_standin",
+                data_generator_seed=(provenance["generator_seed"]
+                                     if provenance["generator_seed"] is not None
+                                     else -1),
+            ), stamp)
+        if problems:
+            failed_folds.append(fold)
         print(json.dumps({
             "fold": fold, "error": round(classification_error, 4),
             "nll": round(nll, 4), "train_s": round(train_time, 1),
+            "problems": problems,
         }))
+    if failed_folds:
+        print(f"FAILED: folds {failed_folds} violated the committed-artifact "
+              "sanity invariants; their out_<fold>.npz were NOT written")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -125,6 +125,49 @@ def test_classification_cli_mixed_types_heart(tmp_path):
     assert len(figs) >= 3, figs
 
 
+def test_fold_writer_refuses_diverged_folds(tmp_path):
+    """VERDICT r4 task 8: a diverged fold must fail the run loudly instead of
+    silently committing a broken artifact (the round-4 heart failure mode:
+    NaN nll + all-zero Sobol + at-chance error, written anyway)."""
+    sys.path.insert(0, str(UCI))
+    from artifact_io import fold_problems, provenance_stamp, write_fold_artifact
+
+    good_sob = np.array([0.6, 0.3, 0.1])
+    good_order = np.array([0.9, 0.1])
+
+    # the round-4 heart artifact, as the writer now sees it
+    assert fold_problems("classification", nll=float("nan"),
+                         sobol_vector=np.zeros(3), sobol_order=np.zeros(2),
+                         classification_error=0.45)
+    # each invariant trips individually
+    assert fold_problems("classification", nll=0.4, sobol_vector=np.zeros(3),
+                         sobol_order=np.zeros(2), classification_error=0.2)
+    assert fold_problems("classification", nll=0.4, sobol_vector=good_sob,
+                         sobol_order=good_order, classification_error=0.48)
+    assert fold_problems("regression", nll=0.4, sobol_vector=good_sob,
+                         sobol_order=good_order, rmse=float("inf"))
+    assert fold_problems("regression", nll=0.4, sobol_vector=None,
+                         sobol_order=None)
+    # a healthy fold passes
+    assert not fold_problems("classification", nll=0.35, sobol_vector=good_sob,
+                             sobol_order=good_order, classification_error=0.15)
+
+    stamp = provenance_stamp(restarts=4)
+    assert stamp["restarts"] == 4 and stamp["code_commit"] != ""
+
+    # refused fold -> no file; healthy fold -> file with the stamp
+    bad = dict(nll=float("nan"), normalised_sobols=np.zeros(3),
+               sobol_order=np.zeros(2), classification_accuracy=0.45)
+    assert write_fold_artifact(tmp_path, 0, "classification", bad, stamp)
+    assert not (tmp_path / "out_0.npz").exists()
+    ok = dict(nll=0.35, normalised_sobols=good_sob, sobol_order=good_order,
+              classification_accuracy=0.15)
+    assert write_fold_artifact(tmp_path, 1, "classification", ok, stamp) == []
+    with np.load(tmp_path / "out_1.npz", allow_pickle=True) as z:
+        assert str(z["code_commit"]) == stamp["code_commit"]
+        assert int(z["restarts"]) == 4
+
+
 def test_example_clis_default_to_production_restarts():
     """The CLIs' default fit mode matches the repo's f32 production guidance
     (VERDICT r3 task 3; oak_model.fit docstring recommends restarts=4 —

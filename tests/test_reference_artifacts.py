@@ -131,3 +131,10 @@ def test_committed_artifacts_are_finite_and_sane(path):
             # trained model must beat coin-flipping on every committed fold
             assert float(d["classification_accuracy"]) < 0.45, \
                 f"{path}: at-chance error rate (untrained model)"
+        # provenance stamp (VERDICT r4 task 6): every committed artifact
+        # names the commit + fit mode that produced it, so a stale-artifact
+        # regression is caught by inspection, not archaeology
+        assert "code_commit" in d.files and "restarts" in d.files, \
+            f"{path}: missing provenance stamp (pre-round-5 writer)"
+        assert int(d["restarts"]) >= 4, \
+            f"{path}: produced outside the production multistart mode"

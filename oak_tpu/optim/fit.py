@@ -176,11 +176,16 @@ def fit_lbfgs(model, loss_fn: Callable, max_iters: int = 500,
         run = jax.jit(lbfgs_loop(loss_vec, max_iters, tol, memory_size))
         vec, value, grad, iters = run(vec0)
     fitted = unflatten(vec)
-    # value/grad at the accepted iterate live in the optimizer state —
-    # no extra (un-jitted) loss evaluation needed
     gnorm = float(jnp.sqrt(jnp.sum(grad * grad)))
     value = float(value)
     iters = int(iters)
+    # The state's stored value can be STALE-finite when the trajectory
+    # diverged (a NaN update direction poisons the params while the state
+    # keeps the last linesearch-accepted value). Report the loss OF the
+    # returned params so callers' accept/retry logic sees the truth.
+    vec_h = np.asarray(jax.device_get(vec))
+    if not np.isfinite(vec_h).all():
+        value = float("inf")
     converged = gnorm <= tol
     msg = (f"gradient norm {gnorm:.3e} <= tol after {iters} iterations"
            if converged else

@@ -151,8 +151,17 @@ def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
 
     @jax.jit
     def finalize(vecs, states):
-        values, grads = jax.vmap(stats)(states)
-        values = jnp.where(jnp.isfinite(values), values, jnp.inf)
+        # Evaluate the loss FRESH at the returned params instead of trusting
+        # the L-BFGS state's stored value: when a lane's trajectory diverges
+        # (e.g. a NaN update direction poisons every param in one step), the
+        # state still holds the last linesearch-accepted value — stale and
+        # finite — which let round-4's heart fits report four healthy-looking
+        # lanes whose vecs were 100% NaN. The reported loss must be the loss
+        # OF the params the lane returns.
+        _, grads = jax.vmap(stats)(states)
+        values = jax.vmap(loss_vec)(vecs)
+        ok = jnp.all(jnp.isfinite(vecs), axis=-1) & jnp.isfinite(values)
+        values = jnp.where(ok, values, jnp.inf)
         return values, jnp.sqrt(jnp.sum(grads * grads, axis=-1))
 
     limit = 0

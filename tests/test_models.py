@@ -229,3 +229,38 @@ def test_bernoulli_gradients_finite_at_extreme_variance():
         assert np.isfinite(float(val)), link
         assert np.isfinite(np.asarray(gmu)).all(), link
         assert np.isfinite(np.asarray(gv)).all(), link
+
+
+def test_quadrature_gradients_finite_at_zero_variance():
+    """The OTHER f32 gradient trap on the heart config (round-5 root cause):
+    the SVGP predictive variance cancels to <= 0 at points coinciding with
+    discrete inducing codes, and sqrt(maximum(var, 0.0)) in the quadrature
+    is finite FORWARD but sqrt'(0) = inf BACKWARD — the inf reached every
+    parameter feeding fvar (kernel + q_sqrt, not q_mu) and NaNed the first
+    L-BFGS update direction of every restart lane while their stored losses
+    stayed finite. The quadrature scale now uses a strictly positive floor
+    whose clamp routes the cotangent to the floor branch: gradient exactly
+    0 at and below var = 0."""
+    import jax
+
+    from oak_tpu.models.likelihoods import Bernoulli
+    from oak_tpu.ops.quadrature import gauss_hermite
+
+    lik = Bernoulli.create("logit")
+    y = jnp.asarray([[1.0], [0.0], [1.0]], jnp.float32)
+    fmu = jnp.asarray([[0.3], [-0.2], [1.0]], jnp.float32)
+    for bad in (0.0, -1e-6, -3e-8):
+        fvar = jnp.asarray([[bad], [0.7], [bad]], jnp.float32)
+
+        def ve(args):
+            mu, v = args
+            return jnp.sum(lik.variational_expectations(mu, v, y))
+
+        val, (gmu, gv) = jax.value_and_grad(ve)((fmu, fvar))
+        assert np.isfinite(float(val)), bad
+        assert np.isfinite(np.asarray(gmu)).all(), bad
+        assert np.isfinite(np.asarray(gv)).all(), bad
+        # and through predict_mean_and_var (the serving path)
+        gp = jax.grad(lambda v: jnp.sum(
+            gauss_hermite(lik.invlink, fmu, v)))(fvar)
+        assert np.isfinite(np.asarray(gp)).all(), bad

@@ -41,6 +41,32 @@ def test_multistart_include_init_reproduces_single_trajectory(rng):
     assert abs(multi.fun - single.fun) < 1e-4 * max(1.0, abs(single.fun))
 
 
+def test_multistart_never_returns_nonfinite_params(rng):
+    """Round-5 heart postmortem: a NaN-gradient region (finite loss, inf
+    backward through a sqrt clamp) NaNs every lane's params in ONE L-BFGS
+    update, while each lane's optimizer state keeps the last accepted —
+    finite — loss. The stale state values let four 100%-NaN lanes present
+    as healthy fits. ``finalize`` must evaluate the loss FRESH at the
+    returned params so diverged lanes read as inf and the caller's model is
+    returned untouched instead of a NaN-parameter model."""
+    m = _model(rng)
+    vec0, _ = flatten_trainable(m)
+
+    def poisoned_loss(mm):
+        vec, _ = flatten_trainable(mm)
+        base = jnp.sum((vec - 2.0) ** 2)
+        # finite value everywhere; gradient NaN wherever vec[0] < 1e3
+        # (0 * sqrt'(clamp) = 0 * inf): the round-5 trap shape
+        trap = 0.0 * jnp.sqrt(jnp.maximum(vec[0] - 1e3, 0.0))
+        return base + trap
+
+    res = fit_lbfgs_multistart(m, poisoned_loss, n_starts=3, jitter=0.1,
+                               max_iters=30, include_init=True)
+    vec, _ = flatten_trainable(res.model)
+    assert np.isfinite(np.asarray(vec)).all()
+    assert res.fun == float("inf") and not res.success
+
+
 def test_multistart_accept_fn_filters(rng):
     m = _model(rng)
     loss = lambda mm: mm.training_loss()  # noqa: E731

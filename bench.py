@@ -898,6 +898,9 @@ def run_roofline_chol(args):
 
         t_gemm = op_probe(lambda a: a @ a, B0, r1, r2)
         t_chol = op_probe(jnp.linalg.cholesky, A0, r1, r2)
+        # the forward the models actually run (ops/psd.py cholesky_lower:
+        # blocked right-looking MXU route above the crossover)
+        t_chol_c = op_probe(cholesky_lower, A0, r1, r2)
         t_chol_g = op_probe(
             jax.grad(lambda a: jnp.sum(jnp.linalg.cholesky(a))), A0,
             max(r1 // 2, 2), max(r2 // 2, 8))
@@ -916,12 +919,13 @@ def run_roofline_chol(args):
         gemm_gflops = 2 * S**3 / t_gemm / 1e9
         chol_gflops = S**3 / 3 / t_chol / 1e9
         tri_gflops = S**3 / 3 / t_tri / 1e9
-        probes[S] = dict(chol=t_chol, chol_g=t_chol_gc, tri=t_tri,
+        probes[S] = dict(chol=t_chol_c, chol_g=t_chol_gc, tri=t_tri,
                          tri_g=t_tri_gc)
         rows[S] = {
             "gemm_ms": round(t_gemm * 1e3, 3),
             "mxu_attainable_tflops": round(gemm_gflops / 1e3, 2),
             "chol_ms": round(t_chol * 1e3, 3),
+            "chol_custom_ms": round(t_chol_c * 1e3, 3),
             "chol_gflops": round(chol_gflops, 1),
             "chol_vs_mxu": round(chol_gflops / gemm_gflops, 4),
             "chol_grad_xla_ms": round(t_chol_g * 1e3, 3),

@@ -116,6 +116,72 @@ def _tri_inv_dispatch(L: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
 
 
+# Crossover where the blocked right-looking Cholesky overtakes XLA's
+# monolithic CholeskyDecomposition, and the panel width (both measured on
+# the TPU — BASELINE.md round-5 factorization roofline: at [8192, 8192]
+# blocked 9.62 ms vs XLA 12.71 ms (1.32x), at [4096, 4096] 1.97 vs 2.16 ms
+# (1.10x), at [2048, 2048] the serial panel chain loses, 0.69 vs 0.52 ms;
+# panel sweep at 8192: 512 -> 9.62, 1024 -> 10.37, 2048 -> 11.77 ms).
+_CHOL_BLOCK_MIN = 4096
+_CHOL_PANEL = 512
+
+
+def _cholesky_blocked(A: jnp.ndarray) -> jnp.ndarray:
+    """Right-looking blocked Cholesky: panel factorizations serial, trailing
+    updates as MXU GEMMs.
+
+    XLA's CholeskyDecomposition back-substitutes serially over narrow
+    internal panels and reaches ~8% of the chip's measured GEMM rate
+    (12.46 ms at [8192, 8192], bench.py --roofline-chol, BASELINE.md
+    round-4). The classical blocked recurrence moves the O(n^3/3) trailing
+    work onto the MXU:
+
+        L11 = chol(T11)                (one [P, P] panel, XLA's native op)
+        L21 = T21 @ L11^-T             (GEMM against the panel's inverse)
+        T   = T22 - L21 @ L21^T        (trailing syrk, the FLOPs bulk)
+
+    The Python loop unrolls over ``n // P`` panels with static shrinking
+    shapes, so one compile serves each input size; GEMMs run at HIGH
+    precision (see _HIGH above — DEFAULT's single-pass bf16 costs 4e-3
+    relative error, most of the parity budget). The panel inverse reuses
+    the batched-leaf TriangularSolve (vs I) rather than a full-width solve
+    against the trailing columns: the [P, P] solve amortizes across the
+    whole column block. NaN behavior matches jnp.linalg.cholesky: an
+    indefinite trailing block NaNs its panel and everything after it.
+    Reference chain: the [N, N] factor behind
+    /root/reference/oak/utils.py:206-211.
+    """
+    n = A.shape[-1]
+    P = _CHOL_PANEL
+    cols = []
+    T = A
+    for k in range(0, n, P):
+        b = min(P, n - k)
+        T11 = T[:b, :b]
+        L11 = jnp.linalg.cholesky(T11)
+        rest = T.shape[0] - b
+        if rest == 0:
+            cols.append(jnp.concatenate(
+                [jnp.zeros((k, b), A.dtype), L11], axis=0))
+            break
+        W = jax.scipy.linalg.solve_triangular(
+            L11, jnp.eye(b, dtype=A.dtype), lower=True)
+        L21 = _hmm(T[b:, :b], _mT(W))
+        T = T[b:, b:] - _hmm(L21, _mT(L21))
+        cols.append(jnp.concatenate(
+            [jnp.zeros((k, b), A.dtype), L11, L21], axis=0))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _cholesky_dispatch(A: jnp.ndarray) -> jnp.ndarray:
+    """Blocked MXU route for large 2-D inputs, XLA's monolithic op below
+    the crossover and for explicitly-batched inputs (mirrors
+    _tri_inv_dispatch)."""
+    if A.ndim == 2 and A.shape[-1] >= _CHOL_BLOCK_MIN:
+        return _cholesky_blocked(A)
+    return jnp.linalg.cholesky(A)
+
+
 @jax.custom_vjp
 def cholesky_lower(A: jnp.ndarray) -> jnp.ndarray:
     """`jnp.linalg.cholesky` with a GEMM-built reverse pass.
@@ -137,12 +203,15 @@ def cholesky_lower(A: jnp.ndarray) -> jnp.ndarray:
     primal's frozen-zero upper triangle carries no gradient. The returned
     cotangent is symmetrized, matching JAX's symmetric-input convention.
     Forward-mode (jvp) is not defined — training uses reverse mode only.
+
+    Forward: large 2-D inputs take the blocked right-looking MXU route
+    (_cholesky_blocked); smaller/batched inputs use XLA's native op.
     """
-    return jnp.linalg.cholesky(A)
+    return _cholesky_dispatch(A)
 
 
 def _cholesky_lower_fwd(A):
-    L = jnp.linalg.cholesky(A)
+    L = _cholesky_dispatch(A)
     return L, L
 
 

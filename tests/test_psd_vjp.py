@@ -64,6 +64,43 @@ def test_tri_inv_dispatch_takes_blocked_route_above_crossover(rng):
                                rtol=1e-7, atol=1e-7)
 
 
+@pytest.mark.parametrize("n", [300, 700, 1100])
+def test_blocked_cholesky_matches_xla(rng, n):
+    """The right-looking blocked forward (panel chols + HIGH-precision
+    trailing GEMMs) equals jnp.linalg.cholesky in f64, including the
+    ragged-final-panel path (n not a multiple of the panel width), and is
+    exactly lower-triangular."""
+    from oak_tpu.ops.psd import _cholesky_blocked
+
+    A = _spd(rng, n)
+    L_blk = _cholesky_blocked(A)
+    L_ref = jnp.linalg.cholesky(A)
+    np.testing.assert_allclose(np.asarray(L_blk), np.asarray(L_ref),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(jnp.triu(L_blk, 1)), 0.0)
+
+
+def test_cholesky_dispatch_takes_blocked_route_above_crossover(rng, monkeypatch):
+    """cholesky_lower's primal and VJP stay correct with the blocked
+    forward engaged (n above the crossover). The crossover is lowered so
+    the test runs at a CPU-friendly size — the dispatch reads the module
+    constant per call, so this exercises the same route the TPU takes at
+    [4096+, 4096+]."""
+    from oak_tpu.ops import psd
+
+    monkeypatch.setattr(psd, "_CHOL_BLOCK_MIN", 512)
+    n = 552
+    A = _spd(rng, n)
+    L = cholesky_lower(A)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(jnp.linalg.cholesky(A)),
+                               rtol=1e-9, atol=1e-9)
+    Lt = jnp.asarray(rng.normal(size=(n, n)))
+    g_c = jax.grad(lambda a: jnp.sum(Lt * cholesky_lower(a)))(A)
+    g_x = jax.grad(lambda a: jnp.sum(Lt * jnp.linalg.cholesky(a)))(A)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_x),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_cholesky_vjp_matches_xla(rng):
     A = _spd(rng, 7)
     # a generic (non-symmetric-aware) downstream consumer, including weights

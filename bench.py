@@ -243,7 +243,7 @@ def run_profile(args):
     import optax
 
     from oak_tpu.ops import oak_gram_pallas as ogp
-    from oak_tpu.ops.psd import safe_cholesky
+    from oak_tpu.ops.psd import cholesky, safe_cholesky, tri_inv_lower
     from oak_tpu.params import flatten_trainable
 
     model, X, Y = _build_model(args)
@@ -315,10 +315,22 @@ def run_profile(args):
                 lambda u: ogp.oak_gram(unflatten(u).kernel, Xj, Zj).sum())(v))),
         "kuu_gram_cholesky": scan_time(
             lambda v: jnp.sum(safe_cholesky(unflatten(v).kernel.K(Zj))[0])),
+        # the factorization chain the ELBO actually differentiates
+        # (chol(Kuu) -> tri_inv), forward+VJP — the roofline accounting's
+        # "floor" ops measured in situ
+        "kuu_chol_triinv_fwd_bwd": scan_time(
+            lambda v: jnp.sum(jax.grad(lambda u: jnp.sum(tri_inv_lower(
+                cholesky(unflatten(u).kernel.K(Zj)))))(v))),
         "k_diag": scan_time(
             lambda v: jnp.sum(unflatten(v).kernel.K_diag(Xj))),
         "elbo_fwd": scan_time(
             lambda v: unflatten(v).training_loss(Xj, Yj)),
+        # loss+grad without the optimizer update: full_step minus this is
+        # Adam's elementwise overhead; this minus the gram/factorization
+        # fwd+bwd phases is the [M, N] GEMM algebra + quadrature + KL
+        "elbo_fwd_bwd": scan_time(
+            lambda v: jnp.sum(jax.grad(
+                lambda u: unflatten(u).training_loss(Xj, Yj))(v))),
         "full_step": scan_time(full_step),
     })
     print(json.dumps(out))

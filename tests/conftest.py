@@ -24,12 +24,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # --------------------------------------------------------------------------- #
-# Test tiers (VERDICT r3 task 7): `pytest -m quick` is the <3-minute
-# iteration tier on this 1-core box; the bare `pytest tests/` full run is the
-# gate. Slow = subprocess example/bench CLIs, multistart- and mesh-heavy
-# programs, Pallas interpreter runs, f32 re-fit pipelines, and individually
-# measured tests >~4 s (durations from the round-4 full run). Everything not
-# slow is auto-marked quick, so the two tiers partition the suite.
+# Test tiers (VERDICT r3 task 7): `pytest -m quick` is the fast iteration
+# tier on this 1-core box (measured 3m36s warm-cache, round 5, with a TPU
+# job's host side running concurrently); the bare `pytest tests/` full run
+# is the gate. Slow = subprocess example/bench CLIs, multistart- and
+# mesh-heavy programs, Pallas interpreter runs, f32 re-fit pipelines, and
+# individually measured tests >~4-5.5 s (durations from the round-4 full
+# run + the round-5 quick-tier run). Everything not slow is auto-marked
+# quick, so the two tiers partition the suite.
 # --------------------------------------------------------------------------- #
 SLOW_FILES = {
     "test_examples.py",      # subprocess CLI runs
@@ -87,12 +89,33 @@ SLOW_TESTS = {
     "test_config_minibatch_path",
     "test_config_builds_and_trains",
     "test_optimise_minibatch_checkpoint",
+    # measured >=5.5 s on this box (quick-tier --durations, round 5) —
+    # demoted so the quick tier stays a fast-iteration tier
+    "test_natgrad_full_q_step_exact_through_custom_vjps",
+    "test_diag_q_natgrad_diverges_at_scale",
+    "test_optimise_minibatch_natgrad_checkpoint",
+    "test_tri_inv_dispatch_takes_blocked_route_above_crossover",
+    "test_optimise_minibatch_natgrad_mesh",
+    "test_fused_and_staggered_q_update_identical",
+    "test_diag_natgrad_improves",
+    "test_lbfgs_checkpoint_resume",
+    "test_oak_model_restarts_with_adam_and_natgrad",
+    "test_fit_restarts_kwarg",
+    "test_svgp_posterior_stats_consistent",
+    "test_gpr_training_grad_unchanged_by_custom_vjp",
+    "test_gpr_samples_match_posterior",
+    "test_minibatch_inherits_model_optimizer",
+    "test_export_predict_matches_predict",
+    "test_routing_boundary_branch_overlap_window",
+    "test_serialized_predict_from_disk",
+    "test_optimise_minibatch_mesh_checkpoint",
+    "test_mixed_feature_types_serving",
 }
 
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "quick: fast iteration tier (pytest -m quick, <3 min)")
+        "markers", "quick: fast iteration tier (pytest -m quick, ~3.5 min)")
     config.addinivalue_line(
         "markers", "slow: excluded from the quick tier")
 

@@ -46,10 +46,19 @@ def _make_starts(vec0, n_starts: int, jitter: float, seed: int,
 # long XLA program that can exceed the TPU worker's execution watchdog and
 # CRASH the worker (observed deterministically: 2-lane 500-iteration run at
 # N=6554, M=500 dies with "TPU worker process crashed or restarted"; 200
-# iterations is fine). Chunking carries (vec, state, it) across bounded
+# iterations is fine — and in round 5 a 4-lane 100-iteration chunk on the
+# same pumadyn shape crashed it again, so the budget is LANE-iterations,
+# not iterations). Chunking carries (vec, state, it) across bounded
 # device calls — same trajectory, bounded program runtime; ``limit`` is a
 # traced scalar so ONE compiled chunk serves the whole run.
 CHUNK_ITERS = 100
+
+
+def _default_chunk(n_starts: int) -> int:
+    """Per-call iteration chunk scaled so lanes x chunk stays near the
+    2-lane x 100-iteration budget that is known-safe under the worker
+    watchdog at the largest committed shapes."""
+    return max(20, (2 * CHUNK_ITERS) // max(2, n_starts))
 
 
 def _pick_best(vecs, values, unflatten, dtype,
@@ -102,7 +111,7 @@ def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
 
     from .fit import lbfgs_parts, load_train_state, save_train_state
 
-    chunk = chunk_iters or CHUNK_ITERS
+    chunk = chunk_iters or _default_chunk(n_starts)
     vec0, unflatten = flatten_trainable(model)
     starts = _make_starts(vec0, n_starts, jitter, seed, include_init)
 

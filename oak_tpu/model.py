@@ -430,10 +430,17 @@ class oak_model:
 
             init = self.m
             is_svgp = isinstance(self.m, SVGP)
-            # Adam warmup moves q off the cold start where the zoom
-            # linesearch can stall in f32, then L-BFGS refines; gentle lr —
-            # 5e-2 overshoots into Cholesky-failure territory on f32
-            warm_steps = 300 if is_svgp else 0
+            # Adam warmup moves the params off the cold start where the
+            # zoom linesearch can stall in f32, then L-BFGS refines; gentle
+            # lr — 5e-2 overshoots into Cholesky-failure territory on f32.
+            # SVGP always needs it (q off the cold start); for GPR/SGPR the
+            # explicit-restarts path ALSO warms every lane — the degenerate-
+            # fit retry below always has (warm_adam_steps=300, the recipe
+            # measured to escape the all-noise trap on the autoMPG folds),
+            # and a cold 4-lane multistart on the depth-8 pumadyn SGPR
+            # landed ALL lanes in the trap while the old single-start+warm-
+            # retry path escaped (round-5 regeneration).
+            warm_steps = 300 if (is_svgp or restarts > 0) else 0
             def bad_fit(m, fun=0.0) -> bool:
                 return (self._degenerate_noise_fit(m)
                         or self._pathological_fit(m, fun))

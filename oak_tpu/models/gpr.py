@@ -50,7 +50,10 @@ class GPR:
         L = self._chol()
         N, R = self.Y.shape
         alpha = cholesky_solve(L, self.Y)
-        quad = jnp.sum(self.Y * alpha)
+        # y^T K^-1 y >= 0 in exact math; enforce it so an f32-broken factor
+        # cannot fabricate likelihood (the SGPR bound's clamp rationale,
+        # models/sgpr.py::elbo)
+        quad = jnp.maximum(jnp.sum(self.Y * alpha), 0.0)
         return -0.5 * (quad + R * logdet_from_chol(L) + N * R * _LOG2PI)
 
     def training_loss(self) -> jnp.ndarray:

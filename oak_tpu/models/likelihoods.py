@@ -41,10 +41,16 @@ class Gaussian:
         return -0.5 * (_LOG2PI + jnp.log(v) + ((y - fmu) ** 2 + fvar) / v)
 
     def predict_mean_and_var(self, fmu, fvar):
-        return fmu, fvar + self.variance.value
+        # f32 cancellation in the sparse predictive variance (kdiag -
+        # sum(tmp1^2) + sum(tmp2^2), models/sgpr.py) can leave fvar slightly
+        # NEGATIVE at near-interpolated points; a prediction cannot be more
+        # certain than exact interpolation, so clamp at 0 before adding the
+        # observation noise — log(v) below would otherwise NaN the test NLL
+        # of a healthy fit (seen on the round-5 pumadyn regeneration).
+        return fmu, jnp.maximum(fvar, 0.0) + self.variance.value
 
     def predict_log_density(self, fmu, fvar, y):
-        v = fvar + self.variance.value
+        v = jnp.maximum(fvar, 0.0) + self.variance.value
         return -0.5 * (_LOG2PI + jnp.log(v) + (y - fmu) ** 2 / v)
 
 

@@ -63,17 +63,35 @@ class SGPR:
         return L, Linv, A, LB, c, sigma2
 
     def elbo(self) -> jnp.ndarray:
+        """Titsias collapsed bound, with its exact-math inequalities ENFORCED
+        so f32 breakdown cannot fabricate reward. In exact arithmetic
+
+            ||c||^2 <= y^T y / sigma^2      (A^T B^-1 A is a contraction),
+            tr(AA^T) <= sum K_diag/sigma^2  (Nystrom Q_ff ⪯ K_ff),
+            diag(LB) >= 1                   (B = I + AA^T ⪰ I),
+
+        but in the f32 interpolation-collapse basin (likelihood variance at
+        its floor, near-singular jittered Kuu) the condition number of the
+        A/LB chain reaches ~1e12 and the computed bound violates them by
+        orders of magnitude: a 4-lane multistart on the depth-8 pumadyn
+        SGPR converged to "bounds" of -3.5e7..-5.3e8 (impossible: the true
+        bound is capped near 6·N ≈ 4e4 nats) and L-BFGS maximized the
+        numerical bug into a NaN-predicting model (round-5 regeneration).
+        The clamps are inactive at healthy parameters (the inequalities are
+        strict with margin), and min/max route gradients cleanly at the
+        boundary — the collapse basin simply stops looking attractive."""
         L, _, A, LB, c, sigma2 = self._common()
         N, R = self.Y.shape
         kdiag_sum = jnp.sum(self.kernel.K_diag(self.X))
         trace_term = jnp.sum(A * A)  # tr(A A^T) in the whitened space
+        ydata = 0.5 * jnp.sum(self.Y * self.Y) / sigma2
         bound = (
             -0.5 * N * R * _LOG2PI
-            - R * jnp.sum(jnp.log(jnp.diag(LB)))
+            - R * jnp.sum(jnp.log(jnp.maximum(jnp.diag(LB), 1.0)))
             - 0.5 * N * R * jnp.log(sigma2)
-            - 0.5 * jnp.sum(self.Y * self.Y) / sigma2
-            + 0.5 * jnp.sum(c * c)
-            - 0.5 * R * (kdiag_sum / sigma2 - trace_term)
+            - ydata
+            + jnp.minimum(0.5 * jnp.sum(c * c), ydata)
+            - 0.5 * R * jnp.maximum(kdiag_sum / sigma2 - trace_term, 0.0)
         )
         return bound
 

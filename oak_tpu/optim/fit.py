@@ -220,11 +220,23 @@ def fit_adam(model, loss_fn: Callable, steps: int = 1000, lr: float = 1e-2,
 
         opt_state = opt.init(vec0)
         vec = vec0
-        v = jnp.inf
+        # return the BEST-FINITE iterate, not the last: the masked-gradient
+        # steps never check the loss and can wander into a non-finite-loss
+        # region (see optim/multistart.py warm() — the same guard, batched);
+        # `update` returns the loss at the PRE-update vec, so track that
+        best_v, best_vec = float("inf"), vec0
         for _ in range(steps):
-            vec, opt_state, v = update(vec, opt_state)
-        return FitResult(model=unflatten(vec), fun=float(v), num_iters=steps,
-                         success=True)
+            new_vec, opt_state, v = update(vec, opt_state)
+            v = float(v)
+            if np.isfinite(v) and v < best_v:
+                best_v, best_vec = v, vec
+            vec = new_vec
+        if steps > 0:
+            v_last = float(jax.jit(loss_at)(vec))
+            if np.isfinite(v_last) and v_last < best_v:
+                best_v, best_vec = v_last, vec
+        return FitResult(model=unflatten(best_vec), fun=best_v,
+                         num_iters=steps, success=True)
 
     opt = optax.adam(lr)
 

@@ -118,21 +118,37 @@ def fit_lbfgs_multistart(model, loss_fn: Callable, n_starts: int = 4,
     def loss_vec(vec):
         return loss_fn(unflatten(vec))
 
-    # ---- batched Adam warmup: one scan, all starts ----
+    # ---- batched Adam warmup: one scan, all starts. Hand L-BFGS each
+    # lane's BEST-FINITE iterate, not the last: Adam's masked-gradient
+    # steps never check the loss and can wander into a non-finite-loss
+    # region (measured on the depth-8 pumadyn SGPR: all 4 lanes' losses
+    # were NaN after 300 warm steps with finite params, so L-BFGS's
+    # value_init was NaN and the first update killed every lane). The
+    # Adam trajectory itself is unchanged — only the handoff point. ----
     def warm(starts):
         opt = optax.adam(warm_lr)
+        big = jnp.asarray(jnp.inf, starts.dtype)
 
         def one_step(carry, _):
-            vec, st = carry
-            g = jax.vmap(jax.grad(loss_vec))(vec)
+            vec, st, best_vec, best_loss = carry
+            vals, g = jax.vmap(jax.value_and_grad(loss_vec))(vec)
+            better = jnp.isfinite(vals) & (vals < best_loss)
+            best_loss = jnp.where(better, vals, best_loss)
+            best_vec = jnp.where(better[:, None], vec, best_vec)
             g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
             up, st = opt.update(g, st)
-            return (optax.apply_updates(vec, up), st), None
+            return (optax.apply_updates(vec, up), st, best_vec, best_loss), None
 
         st0 = opt.init(starts)
-        (vec, _), _ = jax.lax.scan(one_step, (starts, st0), None,
-                                   length=warm_adam_steps)
-        return vec
+        carry0 = (starts, st0, starts,
+                  jnp.full((starts.shape[0],), big, starts.dtype))
+        (vec, _, best_vec, best_loss), _ = jax.lax.scan(
+            one_step, carry0, None, length=warm_adam_steps)
+        # the final iterate was never scored inside the scan: keep it when
+        # it improves on the best seen (the healthy-trajectory common case)
+        final_vals = jax.vmap(loss_vec)(vec)
+        better = jnp.isfinite(final_vals) & (final_vals < best_loss)
+        return jnp.where(better[:, None], vec, best_vec)
 
     # ---- batched L-BFGS: vmap of the SAME while_loop fit_lbfgs runs
     # (optim/fit.py::lbfgs_parts — one definition, one convergence policy),

@@ -57,6 +57,36 @@ def test_gpr_posterior_stats_consistent(rng):
     np.testing.assert_allclose(np.asarray(var)[:, 0], var2, rtol=1e-6, atol=1e-9)
 
 
+def test_sgpr_bound_respects_analytic_cap_everywhere(rng):
+    """The Titsias bound with its exact-math inequalities enforced
+    (models/sgpr.py::elbo) is STRUCTURALLY capped by the sigma-only terms:
+    every other term is clamped <= 0, so for ANY parameter state — healthy,
+    collapsed, or f32-broken — elbo <= -N*R/2*(log 2pi + log sigma^2).
+    Round-5 regression: on the depth-8 pumadyn SGPR in f32, the unclamped
+    bound reached -5.3e8 of fabricated reward in the interpolation-collapse
+    basin and L-BFGS optimized the bug into a NaN-predicting model."""
+    from oak_tpu.params import flatten_trainable
+
+    X, y = _make_data(rng, n=40, d=3)
+    Z = X[:12]
+    m0 = SGPR.create(jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
+                     _kernel(d=3), Z=jnp.asarray(Z, jnp.float32),
+                     noise_variance=0.01)
+    vec0, unflatten = flatten_trainable(m0)
+    for scale, seed in ((0.3, 0), (3.0, 1), (10.0, 2), (30.0, 3)):
+        r = np.random.default_rng(seed)
+        vec = jnp.asarray(
+            np.asarray(vec0) + scale * r.standard_normal(vec0.shape),
+            vec0.dtype)
+        m = unflatten(vec)
+        elbo = float(m.elbo())
+        if not np.isfinite(elbo):
+            continue  # NaN is an honest failure mode; fabricated reward isn't
+        sigma2 = float(m.likelihood.variance.value)
+        cap = -0.5 * y.size * (np.log(2 * np.pi) + np.log(sigma2))
+        assert elbo <= cap + 1e-3 * abs(cap) + 1.0, (scale, seed, elbo, cap)
+
+
 def test_sgpr_bound_below_lml_and_tight_at_Z_eq_X(rng):
     X, y = _make_data(rng, n=30)
     k = _kernel()

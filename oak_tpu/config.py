@@ -52,3 +52,27 @@ def pallas_gram_enabled() -> bool:
     if _PALLAS_GRAM == "auto":
         return jax.default_backend() == "tpu"
     return bool(_PALLAS_GRAM)
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def exact_gram():
+    """Trace-time scope that routes OAKKernel.K through the per-dim
+    elementwise gram + Newton-Girard combination instead of the fused
+    einsum gram. The fused forward's dots run at TPU-default single-pass
+    bf16 — ideal for the training hot path (benchmarked, gradient-noise
+    tolerant) but ~1% relative gram error, which the PREDICTION and
+    interpretability paths cannot carry: on the sharp depth-8 pumadyn fit
+    the posterior mean moved by ~0.1 (standardized y) and the sum-to-mean
+    decomposition identity broke by 11% of its cancellation mass (round
+    5). The per-dim route has no dot-general at all, so it is f32-exact
+    on every backend. Used by GPR/SGPR predict_f and posterior_stats."""
+    global _PALLAS_GRAM
+    prev = _PALLAS_GRAM
+    _PALLAS_GRAM = False
+    try:
+        yield
+    finally:
+        _PALLAS_GRAM = prev

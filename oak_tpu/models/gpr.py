@@ -17,7 +17,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..kernels.oak_kernel import OAKKernel
-from ..ops.psd import cholesky, cholesky_solve, logdet_from_chol, solve_lower
+from ..ops.psd import (cholesky, cholesky_solve, logdet_from_chol,
+                       refine_cholesky, solve_lower, solve_lower_refined,
+                       solve_upper_refined)
 from ..params import log_prior_density
 from .likelihoods import Gaussian
 
@@ -41,10 +43,13 @@ class GPR:
                    X=X, Y=Y.astype(X.dtype))
 
     # ------------------------------------------------------------------ #
-    def _chol(self) -> jnp.ndarray:
+    def _chol(self, refined: bool = False) -> jnp.ndarray:
         K = self.kernel.K(self.X)
         Ky = K + self.likelihood.variance.value * jnp.eye(K.shape[0], dtype=K.dtype)
-        return cholesky(Ky, jitter=0.0)
+        L = cholesky(Ky, jitter=0.0)
+        # prediction paths: Newton-refine against the HIGHEST-precision
+        # residual (ops/psd.py mixed-precision refinement note)
+        return refine_cholesky(Ky, L) if refined else L
 
     def log_marginal_likelihood(self) -> jnp.ndarray:
         L = self._chol()
@@ -62,12 +67,24 @@ class GPR:
 
     # ------------------------------------------------------------------ #
     def predict_f(self, Xnew, full_cov: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        L = self._chol()
+        # prediction-path GEMMs at HIGH precision and grams on the exact
+        # per-dim route (models/sgpr.py::predict_f + config.exact_gram
+        # precision notes); training (log_marginal_likelihood) keeps DEFAULT
+        from ..config import exact_gram
+        from ..ops.psd import _hmm
+
+        with exact_gram():
+            return self._predict_f_exact(Xnew, full_cov)
+
+    def _predict_f_exact(self, Xnew, full_cov: bool = False):
+        from ..ops.psd import _hmm
+
+        L = self._chol(refined=True)
         Kmn = self.kernel.K(self.X, jnp.asarray(Xnew))  # [N, S]
-        A = solve_lower(L, Kmn)  # [N, S]
-        mean = A.T @ solve_lower(L, self.Y)
+        A = solve_lower_refined(L, Kmn)  # [N, S]
+        mean = _hmm(A.T, solve_lower_refined(L, self.Y))
         if full_cov:
-            cov = self.kernel.K(Xnew) - A.T @ A
+            cov = self.kernel.K(Xnew) - _hmm(A.T, A)
             return mean, cov
         var = self.kernel.K_diag(jnp.asarray(Xnew)) - jnp.sum(A * A, axis=0)
         return mean, var[:, None] * jnp.ones((1, self.Y.shape[1]), A.dtype)
@@ -94,15 +111,23 @@ class GPR:
     # ------------------------------------------------------------------ #
     def posterior_alpha(self) -> jnp.ndarray:
         """alpha with predictive mean = K(Xnew, X) alpha (no Qinv)."""
-        return cholesky_solve(self._chol(), self.Y)
+        from ..config import exact_gram
+
+        with exact_gram():
+            L = self._chol(refined=True)
+            return solve_upper_refined(L, solve_lower_refined(L, self.Y))
 
     def posterior_stats(self):
         """(alpha, Qinv) with predictive mean = K(Xnew,X) alpha and
         covariance = K(Xnew) - K(Xnew,X) Qinv K(X,Xnew); the GPR branch of the
         reference's ``get_model_sufficient_statistics`` (utils.py:206-211)."""
-        L = self._chol()
-        alpha = cholesky_solve(L, self.Y)
-        Qinv = cholesky_solve(L, jnp.eye(L.shape[0], dtype=L.dtype))
+        from ..config import exact_gram
+
+        with exact_gram():
+            L = self._chol(refined=True)
+        alpha = solve_upper_refined(L, solve_lower_refined(L, self.Y))
+        eye = jnp.eye(L.shape[0], dtype=L.dtype)
+        Qinv = solve_upper_refined(L, solve_lower_refined(L, eye))
         return alpha, Qinv
 
     @property

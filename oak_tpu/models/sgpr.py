@@ -16,8 +16,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..kernels.oak_kernel import OAKKernel
-from ..ops.psd import (cholesky, solve_lower, solve_upper,
-                       tri_inv_lower, wide_rhs)
+from ..ops.psd import (add_jitter, cholesky, cholesky_lower, refine_cholesky,
+                       solve_lower, solve_lower_refined, solve_upper,
+                       tri_inv_lower, tri_inv_lower_refined, wide_rhs)
 from ..params import Param, fixed, log_prior_density, param
 from .likelihoods import Gaussian
 
@@ -44,12 +45,30 @@ class SGPR:
                    Z=Zp, X=X, Y=Y.astype(X.dtype))
 
     # ------------------------------------------------------------------ #
-    def _common(self):
+    def _common(self, refined: bool = False):
+        """``refined=True`` (prediction/interpretability paths): Newton-
+        refine the factors/solves against HIGHEST-precision residuals and
+        run the chain GEMMs at HIGH — XLA:TPU's Cholesky/TriangularSolve
+        internals are single-pass bf16 and a sharp Kuu's conditioning
+        amplifies that to O(0.1) prediction error (ops/psd.py mixed-
+        precision refinement note). Training (elbo) keeps the benchmarked
+        fast route."""
+        from ..ops.psd import _hmm
+
         Z = self.Z.value
         sigma2 = self.likelihood.variance.value
         sigma = jnp.sqrt(sigma2)
         Kuu = self.kernel.K(Z)
         Kuf = self.kernel.K(Z, self.X)  # [M, N]
+        if refined:
+            Kj = add_jitter(Kuu)
+            L = refine_cholesky(Kj, cholesky_lower(Kj))
+            Linv = tri_inv_lower_refined(L)
+            A = _hmm(Linv, Kuf) / sigma  # [M, N]
+            B = _hmm(A, A.T) + jnp.eye(A.shape[0], dtype=A.dtype)
+            LB = refine_cholesky(B, cholesky_lower(B))
+            c = solve_lower_refined(LB, _hmm(A, self.Y)) / sigma  # [M, R]
+            return L, Linv, A, LB, c, sigma2
         L = cholesky(Kuu)  # jittered
         # [M, N] wide-RHS solve as explicit-inverse GEMM (ops/psd.py
         # tri_inv_lower) — this is the per-iteration hot op of SGPR fits;
@@ -100,19 +119,34 @@ class SGPR:
 
     # ------------------------------------------------------------------ #
     def predict_f(self, Xnew, full_cov: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        L, Linv, A, LB, c, _ = self._common()
+        # prediction-path GEMMs run at HIGH precision: TPU-default
+        # single-pass bf16 puts ~1% relative error on the posterior mean,
+        # which broke the sum-to-mean decomposition identity by 11% of the
+        # cancellation mass on the sharp depth-8 pumadyn fit (round 5).
+        # Training (elbo) keeps the benchmarked DEFAULT.
+        from ..config import exact_gram
+        from ..ops.psd import _hmm
+
+        with exact_gram():
+            return self._predict_f_exact(Xnew, full_cov)
+
+    def _predict_f_exact(self, Xnew, full_cov: bool = False):
+        from ..ops.psd import _hmm
+
+        L, Linv, A, LB, c, _ = self._common(refined=True)
         Xnew = jnp.asarray(Xnew)
         Kus = self.kernel.K(self.Z.value, Xnew)  # [M, S]
-        tmp1 = Linv @ Kus  # [M, S]; Linv already formed by _common
+        tmp1 = _hmm(Linv, Kus)  # [M, S]; Linv already formed by _common
         # explicit inverse only pays off for a wide RHS (shapes are static,
         # so this is a trace-time branch)
         if wide_rhs(Xnew.shape[0], LB.shape[0]):
-            tmp2 = tri_inv_lower(LB) @ tmp1  # [M, S]
+            tmp2 = _hmm(tri_inv_lower_refined(LB), tmp1)  # [M, S]
         else:
-            tmp2 = solve_lower(LB, tmp1)
-        mean = tmp2.T @ c
+            tmp2 = solve_lower_refined(LB, tmp1)
+        mean = _hmm(tmp2.T, c)
         if full_cov:
-            cov = self.kernel.K(Xnew) - tmp1.T @ tmp1 + tmp2.T @ tmp2
+            cov = (self.kernel.K(Xnew) - _hmm(tmp1.T, tmp1)
+                   + _hmm(tmp2.T, tmp2))
             return mean, cov
         var = (
             self.kernel.K_diag(Xnew)
@@ -142,17 +176,37 @@ class SGPR:
 
     # ------------------------------------------------------------------ #
     def posterior_alpha(self) -> jnp.ndarray:
-        L, _, A, LB, c, _ = self._common()
-        return solve_upper(L, solve_upper(LB, c))
+        # Same operator route as predict_f (tri-inv + HIGH GEMMs), NOT XLA
+        # triangular solves: predict evaluates Kus^T Linv^T LBinv^T c while
+        # alpha-based consumers evaluate K(X, Z) alpha — if alpha is
+        # computed through a different solve route, TPU solve-internal bf16
+        # noise amplified by the factor conditioning makes the two
+        # algebraically-identical answers disagree by ~0.1 on sharp fits
+        # (the round-5 pumadyn sum-to-mean identity failure). One route,
+        # one noise realization: the identity holds to f32 grade again.
+        from ..config import exact_gram
+        from ..ops.psd import _hmm
+
+        with exact_gram():
+            L, Linv, A, LB, c, _ = self._common(refined=True)
+        return _hmm(Linv.T, _hmm(tri_inv_lower_refined(LB).T, c))
 
     def posterior_stats(self):
         """(alpha, Qinv): predictive mean = Kxu alpha, predictive covariance
         = Kxx - Kxu Qinv Kux. Matches the reference's hand-derived SGPR branch
         (utils.py:180-204): alpha = L^{-T} LB^{-T} c; Qinv = L^{-T}(I - B^{-1})L^{-1}."""
-        L, Linv, A, LB, c, _ = self._common()
-        alpha = solve_upper(L, solve_upper(LB, c))
-        LBinv_Linv = solve_lower(LB, Linv)
-        Qinv = Linv.T @ Linv - LBinv_Linv.T @ LBinv_Linv
+        from ..config import exact_gram
+        from ..ops.psd import _hmm
+
+        with exact_gram():
+            L, Linv, A, LB, c, _ = self._common(refined=True)
+        LBinv = tri_inv_lower_refined(LB)
+        # the posterior_alpha operator route (tri-inv + HIGH GEMMs) — see
+        # its precision note; alpha/Qinv feed every Sobol quadratic form
+        # and per-component prediction
+        alpha = _hmm(Linv.T, _hmm(LBinv.T, c))
+        LBinv_Linv = _hmm(LBinv, Linv)
+        Qinv = _hmm(Linv.T, Linv) - _hmm(LBinv_Linv.T, LBinv_Linv)
         return alpha, Qinv
 
     @property

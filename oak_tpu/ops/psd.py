@@ -273,6 +273,73 @@ def solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.solve_triangular(L, B, lower=True)
 
 
+# ---------------------------------------------------------------------------
+# Mixed-precision iterative refinement: f32-faithful factorization on bf16
+# hardware. XLA:TPU expands CholeskyDecomposition / TriangularSolve into
+# blocked HLO whose internal dots run at the hardware-default single-pass
+# bf16 (not controllable from JAX), so a [500, 500] factor of a sharp OAK
+# Kuu carries ~4e-3 relative error where CPU f32 carries ~1e-7 — amplified
+# by the posterior conditioning, the round-5 pumadyn predictions were off
+# the f64 truth by 0.24 (standardized y) while the CPU-f32 legs sat at
+# 4e-4. One Newton step against a HIGHEST-precision (true f32) residual
+# recovers f32-grade factors and solves at predict-time cost: the residual
+# is second-order small, so its own solve noise is negligible.
+# ---------------------------------------------------------------------------
+_HIGHEST = lax.Precision.HIGHEST
+
+
+def _xmm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(a, b, precision=_HIGHEST)
+
+
+def refine_cholesky(K: jnp.ndarray, L: jnp.ndarray,
+                    iters: int = 1) -> jnp.ndarray:
+    """Newton-refine a (possibly bf16-internally-computed) Cholesky factor
+    of K: with E = K - L L^T evaluated at HIGHEST precision,
+    L' = L + L. Phi(L^-1 E L^-T) (the Cholesky differential, Murray eq. 5).
+    Error contracts from eps to O(cond . eps^2) per iteration."""
+    for _ in range(iters):
+        E = K - _xmm(L, _mT(L))
+        F = jax.scipy.linalg.solve_triangular(L, E, lower=True)
+        G = jax.scipy.linalg.solve_triangular(L, _mT(F), lower=True)
+        L = L + _xmm(L, _phi(_mT(G)))
+    return L
+
+
+def solve_lower_refined(L: jnp.ndarray, B: jnp.ndarray,
+                        iters: int = 1) -> jnp.ndarray:
+    """solve_lower with Newton refinement against the HIGHEST-precision
+    residual (TPU TriangularSolve internals are bf16; see module note)."""
+    X = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    for _ in range(iters):
+        R = B - _xmm(L, X)
+        X = X + jax.scipy.linalg.solve_triangular(L, R, lower=True)
+    return X
+
+
+def solve_upper_refined(L: jnp.ndarray, B: jnp.ndarray,
+                        iters: int = 1) -> jnp.ndarray:
+    """Refined solve of L^T x = B for lower-triangular L."""
+    U = _mT(L)
+    X = jax.scipy.linalg.solve_triangular(U, B, lower=False)
+    for _ in range(iters):
+        R = B - _xmm(U, X)
+        X = X + jax.scipy.linalg.solve_triangular(U, R, lower=False)
+    return X
+
+
+def tri_inv_lower_refined(L: jnp.ndarray, iters: int = 1) -> jnp.ndarray:
+    """Explicit triangular inverse with Newton refinement
+    W <- W + W (I - L W): quadratic error contraction, two HIGHEST GEMMs
+    per iteration, exact lower-triangular structure preserved by masking."""
+    W = _tri_inv_dispatch(L)
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    for _ in range(iters):
+        E = eye - _xmm(L, W)
+        W = W + jnp.tril(_xmm(W, E))
+    return W
+
+
 @jax.custom_vjp
 def tri_inv_lower(L: jnp.ndarray) -> jnp.ndarray:
     """Explicit inverse of a lower-triangular factor (one [M, M] solve

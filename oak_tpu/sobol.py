@@ -810,7 +810,13 @@ def _prediction_component_impl(model, X, depth: int, mesh=None) -> jnp.ndarray:
         Kc = G[c_idx[0]]
         for j in range(1, P):
             Kc = Kc * G[c_idx[j]]
-        return scale * (Kc @ a)
+        # HIGH precision: the per-component means must sum to the fused
+        # predictive mean; at TPU-default single-pass bf16 this matvec
+        # carries ~1% relative error per component and the identity broke
+        # by 11% of the cancellation mass on the sharp depth-8 pumadyn fit
+        # (round 5) — prediction/interpretability paths run at HIGH while
+        # training stays at the benchmarked DEFAULT
+        return scale * jnp.matmul(Kc, a, precision=jax.lax.Precision.HIGH)
 
     # vmapped in chunks (lax.map batch_size) instead of a sequential scan:
     # each chunk materializes a [B, N, M] product buffer, so pick B from it

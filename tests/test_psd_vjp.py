@@ -227,3 +227,46 @@ def test_natgrad_full_q_step_exact_through_custom_vjps(rng):
     sgpr = SGPR.create(X, y, k, Z, noise_variance=0.01)
     np.testing.assert_allclose(float(stepped.elbo(Xj, Yj)),
                                float(sgpr.elbo()), rtol=1e-8)
+
+
+def test_refined_solves_match_direct_f64(rng):
+    """At f64 the Newton-refined solves/inverse equal the direct ops (the
+    correction is ~machine-epsilon); the refinement exists for TPU bf16
+    internals (ops/psd.py mixed-precision refinement note)."""
+    from oak_tpu.ops.psd import (solve_lower_refined, solve_upper_refined,
+                                 tri_inv_lower_refined)
+
+    n = 300
+    L = _lower(rng, n)
+    B = jnp.asarray(rng.normal(size=(n, 5)))
+    np.testing.assert_allclose(
+        np.asarray(solve_lower_refined(L, B)),
+        np.asarray(jax.scipy.linalg.solve_triangular(L, B, lower=True)),
+        rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(solve_upper_refined(L, B)),
+        np.asarray(jax.scipy.linalg.solve_triangular(L.T, B, lower=False)),
+        rtol=1e-10, atol=1e-12)
+    W = tri_inv_lower_refined(L)
+    np.testing.assert_allclose(np.asarray(W @ L), np.eye(n),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(jnp.triu(W, 1)), 0.0)
+
+
+def test_refine_cholesky_contracts_factor_error(rng):
+    """One Newton step against the HIGHEST-precision residual repairs a
+    perturbed factor: ||K - L'L'^T|| drops by orders of magnitude (this is
+    the mechanism that recovers f32-grade factors from TPU-bf16-internal
+    Cholesky; measured 0.24 -> 0.008 prediction error on the pumadyn fit)."""
+    from oak_tpu.ops.psd import refine_cholesky
+
+    n = 200
+    A = _spd(rng, n)
+    L = jnp.linalg.cholesky(A)
+    noise = 1e-4 * jnp.tril(jnp.asarray(rng.normal(size=(n, n))))
+    L_noisy = L + noise
+    err_before = float(jnp.abs(A - L_noisy @ L_noisy.T).max())
+    L_ref = refine_cholesky(A, L_noisy)
+    err_after = float(jnp.abs(A - L_ref @ L_ref.T).max())
+    assert err_after < err_before * 1e-3, (err_before, err_after)
+    np.testing.assert_allclose(np.asarray(jnp.triu(L_ref, 1)), 0.0)

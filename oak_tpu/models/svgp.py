@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..kernels.oak_kernel import OAKKernel
-from ..ops.psd import (cholesky, solve_lower, solve_upper,
+from ..ops.psd import (cholesky, safe_cholesky, solve_lower, solve_upper,
                        tri_inv_lower, wide_rhs)
 from ..params import Param, fixed, log_prior_density, param, positive
 
@@ -88,11 +88,29 @@ class SVGP:
         return 0.5 * (trace_w + mahal - M * R - logdet + logdet_p)
 
     # ------------------------------------------------------------------ #
-    def predict_f(self, Xnew, full_cov: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def _safe_Luu(self) -> jnp.ndarray:
+        """Jitter-ESCALATED Cholesky of Kuu for the prediction/posterior
+        paths: a trained OAK can sit at near-constant per-dim kernels
+        (lengthscales ~70 on the breast folds, round 5), where cond(Kuu)
+        rides the f32 cliff and the default single-jitter factor NaNs in
+        one compiled variant while the training leg's (differently
+        blocked) instance survives — a finite-loss, accepted fit then
+        predicted 100% NaN probabilities. Escalation keeps predictions
+        finite at the cost of a slightly larger jitter on exactly the
+        degenerate-conditioning fits where it cannot matter."""
+        L, _ = safe_cholesky(self.kernel.K(self.Z.value))
+        return L
+
+    def predict_f(self, Xnew, full_cov: bool = False,
+                  safe: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # ``safe=False`` (the ELBO's internal call): plain single-jitter
+        # Cholesky — safe_cholesky's escalation while_loop is not
+        # reverse-differentiable, and training wants the fast op anyway; a
+        # non-finite loss honestly marks the lane as diverged. Public
+        # predictions escalate (see _safe_Luu).
         Xnew = jnp.asarray(Xnew)
         Z = self.Z.value
-        Kuu = self.kernel.K(Z)
-        Luu = cholesky(Kuu)
+        Luu = self._safe_Luu() if safe else cholesky(self.kernel.K(Z))
         Kus = self.kernel.K(Z, Xnew)  # [M, S]
         q_mu = self.q_mu.value
         R = q_mu.shape[1]
@@ -163,7 +181,7 @@ class SVGP:
         Y = jnp.asarray(Y)
         if Y.ndim == 1:
             Y = Y[:, None]
-        fmu, fvar = self.predict_f(X)
+        fmu, fvar = self.predict_f(X, safe=False)
         ve = self.likelihood.variational_expectations(fmu, fvar, Y)
         scale = 1.0
         if self.num_data is not None:
@@ -175,7 +193,7 @@ class SVGP:
 
     # ------------------------------------------------------------------ #
     def posterior_alpha(self) -> jnp.ndarray:
-        Luu = cholesky(self.kernel.K(self.Z.value))
+        Luu = self._safe_Luu()
         if self.whiten:
             return solve_upper(Luu, self.q_mu.value)
         return solve_upper(Luu, solve_lower(Luu, self.q_mu.value))
@@ -186,7 +204,7 @@ class SVGP:
         alpha = Luu^{-T} q_mu, Qinv = Luu^{-T} (I - S) Luu^{-1} with
         S = Lq Lq^T (first latent)."""
         Z = self.Z.value
-        Luu = cholesky(self.kernel.K(Z))
+        Luu = self._safe_Luu()
         q_mu = self.q_mu.value
         Lq = self._q_sqrt_mats()[0]
         S = Lq @ Lq.T

@@ -18,7 +18,7 @@ from flax import struct
 
 from ..kernels.oak_kernel import OAKKernel
 from ..ops.psd import (cholesky, cholesky_solve, logdet_from_chol,
-                       refine_cholesky, solve_lower, solve_lower_refined,
+                       refine_cholesky, solve_lower_refined,
                        solve_upper_refined)
 from ..params import log_prior_density
 from .likelihoods import Gaussian

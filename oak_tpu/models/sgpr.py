@@ -17,7 +17,7 @@ from flax import struct
 
 from ..kernels.oak_kernel import OAKKernel
 from ..ops.psd import (add_jitter, cholesky, cholesky_lower, refine_cholesky,
-                       solve_lower, solve_lower_refined, solve_upper,
+                       solve_lower, solve_lower_refined,
                        tri_inv_lower, tri_inv_lower_refined, wide_rhs)
 from ..params import Param, fixed, log_prior_density, param
 from .likelihoods import Gaussian
